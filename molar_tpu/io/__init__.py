@@ -1,0 +1,238 @@
+"""IO facade: extension-dispatched file handlers.
+
+Mirrors the reference ``FileHandler`` (molar/src/io.rs:279-782): one entry
+point that opens any supported format by extension (with the reference's alias
+table: pdb|ent, sdf|sd|mol, nc|ncdf — io.rs:339-377), reads topology/state/
+both, writes, seeks, and iterates over trajectory frames. The background
+prefetch queue lives in :mod:`molar_tpu.io.prefetch`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+from ..core.state import State
+from ..core.topology import Topology
+from .base import (
+    EmptyFileError,
+    FileIoError,
+    FileStats,
+    FormatHandler,
+    MalformedFileError,
+    NotReadableError,
+    NotWritableError,
+    RandomAccessUnsupported,
+    SeekError,
+)
+from .gro import GroHandler
+from .pdb import PdbHandler
+from .xyz import XyzHandler
+
+__all__ = [
+    "FileHandler",
+    "open_file",
+    "read_file",
+    "register_format",
+    "FileIoError",
+    "EmptyFileError",
+    "MalformedFileError",
+    "NotReadableError",
+    "NotWritableError",
+    "SeekError",
+    "RandomAccessUnsupported",
+    "FileStats",
+    "FormatHandler",
+]
+
+_REGISTRY: dict[str, Callable[[str, str], FormatHandler]] = {}
+
+
+def register_format(extensions: str, factory: Callable[[str, str], FormatHandler]) -> None:
+    """Register a handler factory for '|'-separated extensions."""
+    for ext in extensions.split("|"):
+        _REGISTRY[ext.lower()] = factory
+
+
+register_format("pdb|ent", PdbHandler)
+register_format("gro", GroHandler)
+register_format("xyz", XyzHandler)
+
+
+def _lazy_register_binary_formats() -> None:
+    # Imported lazily so the text formats work even if native codecs are absent.
+    try:
+        from .xtc import XtcHandler
+
+        register_format("xtc", XtcHandler)
+    except ImportError:
+        pass
+    try:
+        from .trr import TrrHandler
+
+        register_format("trr", TrrHandler)
+    except ImportError:
+        pass
+    try:
+        from .dcd import DcdHandler
+
+        register_format("dcd", DcdHandler)
+    except ImportError:
+        pass
+    try:
+        from .sdf import SdfHandler
+
+        register_format("sdf|sd|mol", SdfHandler)
+    except ImportError:
+        pass
+    try:
+        from .itp import ItpHandler
+
+        register_format("itp", ItpHandler)
+    except ImportError:
+        pass
+    try:
+        from .tng_netcdf import NetcdfHandler
+
+        register_format("nc|ncdf", NetcdfHandler)
+    except ImportError:
+        pass
+
+
+_lazy_register_binary_formats()
+
+
+class FileHandler:
+    """Extension-dispatched facade with timing stats and frame iteration."""
+
+    def __init__(self, path: str, mode: str = "r"):
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        factory = _REGISTRY.get(ext)
+        if factory is None:
+            raise FileIoError(f"unsupported file extension: {ext!r} ({path})")
+        self.path = path
+        self.mode = mode
+        self.stats = FileStats()
+        self.handler = factory(path, mode)
+        self._pushback: Optional[State] = None
+
+    # -- reads -----------------------------------------------------------------
+
+    def read(self) -> tuple[Topology, State]:
+        with self.stats.timed():
+            top, st = self.handler.read()
+        self.stats.frames_processed += 1
+        self.stats.cur_t = st.time
+        return top, st
+
+    def read_topology(self) -> Topology:
+        with self.stats.timed():
+            return self.handler.read_topology()
+
+    def read_state(self) -> Optional[State]:
+        if self._pushback is not None:
+            st, self._pushback = self._pushback, None
+            return st
+        with self.stats.timed():
+            st = self.handler.read_state()
+        if st is not None:
+            self.stats.frames_processed += 1
+            self.stats.cur_t = st.time
+        return st
+
+    def read_state_pick(self, need_velocities=True, need_forces=True) -> Optional[State]:
+        with self.stats.timed():
+            st = self.handler.read_state_pick(need_velocities, need_forces)
+        if st is not None:
+            self.stats.frames_processed += 1
+            self.stats.cur_t = st.time
+        return st
+
+    # -- writes ----------------------------------------------------------------
+
+    def write(self, topology: Topology, state: State, indices=None) -> None:
+        with self.stats.timed():
+            self.handler.write(topology, state, indices)
+        self.stats.frames_processed += 1
+
+    def write_system(self, system, indices=None) -> None:
+        self.write(system.topology, system.state, indices)
+
+    # -- random access ---------------------------------------------------------
+
+    def seek_frame(self, fr: int) -> None:
+        self.handler.seek_frame(fr)
+
+    def seek_time(self, t: float) -> None:
+        self.handler.seek_time(t)
+
+    def seek_last(self) -> State:
+        return self.handler.seek_last()
+
+    def skip_to_frame(self, fr: int) -> None:
+        """Random access with serial fallback (io.rs:726-769)."""
+        try:
+            self.handler.seek_frame(fr)
+        except RandomAccessUnsupported:
+            for _ in range(fr):
+                if self.read_state() is None:
+                    raise SeekError(f"frame {fr} beyond end of {self.path}")
+
+    def skip_to_time(self, t: float) -> None:
+        try:
+            self.handler.seek_time(t)
+        except RandomAccessUnsupported:
+            while True:
+                st = self.read_state()
+                if st is None:
+                    raise SeekError(f"time {t} beyond end of {self.path}")
+                if st.time >= t:
+                    # Reference semantics: stop at first frame with time >= t;
+                    # that frame is consumed here, matching skip_to_time's
+                    # "position before next read" contract loosely.
+                    self._pushback = st
+                    break
+
+    # -- iteration -------------------------------------------------------------
+
+    def __iter__(self) -> Iterator[State]:
+        return self.iter_states()
+
+    def iter_states(self) -> Iterator[State]:
+        while True:
+            try:
+                st = self.read_state()
+            except (FileIoError, EOFError) as e:
+                # A corrupt tail terminates iteration with a warning, not a
+                # crash (io.rs:254-269).
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "trajectory %s terminated early: %s", self.path, e
+                )
+                return
+            if st is None:
+                return
+            yield st
+
+    def close(self) -> None:
+        self.handler.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
+def open_file(path: str, mode: str = "r") -> FileHandler:
+    return FileHandler(path, mode)
+
+
+def read_file(path: str) -> tuple[Topology, State]:
+    """One-shot topology+state read (System::from_file's engine)."""
+    with FileHandler(path) as fh:
+        return fh.read()
