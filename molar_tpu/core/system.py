@@ -1,0 +1,497 @@
+"""System and Sel: the user-facing data + selection API.
+
+``System`` owns a (Topology, State) pair with a size invariant (reference:
+molar/src/selection/system.rs:11-22). ``Sel`` is a *bound* selection — a
+sorted, non-empty global index array plus a reference to its system
+(reference sel.rs:10-19: empty selections are an error, not an empty set).
+Pythonic merge of the reference's detached/bound/mutable selection kinds:
+JAX analysis is functional, so the borrow discipline that motivated the
+split dissolves; what remains is indices + system.
+
+Analysis entry points on ``Sel`` delegate to the host numpy ops
+(:mod:`molar_tpu.ops.measure_host`); batched device execution over whole
+trajectory windows lives in :mod:`molar_tpu.ops.measure` and the analysis
+runner.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Sequence, Union
+
+import numpy as np
+
+from ..config import FLOAT
+from ..selection import SelectionExpr
+from .pbc import PBC_FULL, PBC_NONE, PbcDims, PeriodicBox
+from .state import State
+from .topology import Topology
+
+
+class SelectionError(ValueError):
+    pass
+
+
+SelectionDef = Union[str, SelectionExpr, np.ndarray, Sequence[int], range, slice, "Sel"]
+
+
+class System:
+    """Owns a topology and the current state; selections bind to it."""
+
+    def __init__(self, topology: Topology, state: State):
+        if topology.n_atoms != state.n_atoms:
+            raise SelectionError(
+                f"topology has {topology.n_atoms} atoms but state has {state.n_atoms}"
+            )
+        self.topology = topology
+        self.state = state
+
+    # -- constructors --------------------------------------------------------
+
+    @staticmethod
+    def from_file(path: str) -> "System":
+        from ..io import read_file
+
+        top, st = read_file(str(path))
+        return System(top, st)
+
+    # -- basic accessors ------------------------------------------------------
+
+    @property
+    def n_atoms(self) -> int:
+        return self.topology.n_atoms
+
+    def __len__(self) -> int:
+        return self.n_atoms
+
+    @property
+    def box(self) -> Optional[PeriodicBox]:
+        return self.state.box
+
+    @property
+    def time(self) -> float:
+        return self.state.time
+
+    def set_state(self, state: State) -> State:
+        """Swap in a new state (same atom count), returning the old one —
+        the per-frame hot path of the analysis loop (system.rs:230)."""
+        if state.n_atoms != self.n_atoms:
+            raise SelectionError(
+                f"state has {state.n_atoms} atoms, system has {self.n_atoms}"
+            )
+        old, self.state = self.state, state
+        return old
+
+    # -- selections ------------------------------------------------------------
+
+    def _resolve_def(self, seldef: SelectionDef, subset: Optional[np.ndarray] = None) -> np.ndarray:
+        n = self.n_atoms
+        if isinstance(seldef, Sel):
+            idx = seldef.indices.copy()
+        elif isinstance(seldef, SelectionExpr):
+            idx = seldef.apply(self.topology, self.state, subset)
+        elif isinstance(seldef, str):
+            idx = SelectionExpr(seldef).apply(self.topology, self.state, subset)
+        elif isinstance(seldef, range):
+            idx = np.arange(seldef.start, seldef.stop, seldef.step, dtype=np.int64)
+        elif isinstance(seldef, slice):
+            idx = np.arange(*seldef.indices(n), dtype=np.int64)
+        else:
+            idx = np.unique(np.asarray(seldef, dtype=np.int64))
+        if len(idx) == 0:
+            raise SelectionError(f"selection is empty: {seldef!r}")
+        if idx.min() < 0 or idx.max() >= n:
+            raise SelectionError(
+                f"selection index out of bounds (0..{n - 1}): {seldef!r}"
+            )
+        if subset is not None and not isinstance(seldef, (str, SelectionExpr)):
+            sub = np.asarray(subset)
+            if not np.isin(idx, sub).all():
+                raise SelectionError("sub-selection indices escape the parent selection")
+        return idx
+
+    def select(self, seldef: SelectionDef) -> "Sel":
+        return Sel(self, self._resolve_def(seldef))
+
+    __call__ = select
+
+    def select_all(self) -> "Sel":
+        return Sel(self, np.arange(self.n_atoms, dtype=np.int64))
+
+    # -- editing ----------------------------------------------------------------
+
+    def append_atoms(
+        self,
+        atoms,
+        coords: np.ndarray,
+        velocities: Optional[np.ndarray] = None,
+    ) -> None:
+        """Append atoms (list of Atom) with coordinates (system.rs:272)."""
+        add = Topology.from_atoms(list(atoms))
+        self.topology = self.topology.concat(add)
+        self.state.coords = np.concatenate(
+            [self.state.coords, np.asarray(coords, FLOAT).reshape(-1, 3)]
+        )
+        if self.state.velocities is not None:
+            v = (
+                np.asarray(velocities, FLOAT).reshape(-1, 3)
+                if velocities is not None
+                else np.zeros((add.n_atoms, 3), FLOAT)
+            )
+            self.state.velocities = np.concatenate([self.state.velocities, v])
+
+    def append_system(self, other: "System") -> None:
+        self.topology = self.topology.concat(other.topology)
+        self.state.coords = np.concatenate([self.state.coords, other.state.coords])
+        if self.state.velocities is not None and other.state.velocities is not None:
+            self.state.velocities = np.concatenate(
+                [self.state.velocities, other.state.velocities]
+            )
+        else:
+            self.state.velocities = None
+
+    def remove(self, seldef: SelectionDef) -> None:
+        idx = self._resolve_def(seldef)
+        keep = np.ones(self.n_atoms, dtype=bool)
+        keep[idx] = False
+        kept = np.nonzero(keep)[0]
+        self.topology = self.topology.subset(kept)
+        self.state.coords = self.state.coords[kept]
+        if self.state.velocities is not None:
+            self.state.velocities = self.state.velocities[kept]
+        if self.state.forces is not None:
+            self.state.forces = self.state.forces[kept]
+
+    def keep(self, seldef: SelectionDef) -> None:
+        idx = self._resolve_def(seldef)
+        self.topology = self.topology.subset(idx)
+        self.state.coords = self.state.coords[idx]
+        if self.state.velocities is not None:
+            self.state.velocities = self.state.velocities[idx]
+        if self.state.forces is not None:
+            self.state.forces = self.state.forces[idx]
+
+    def multiply_periodically(self, nx: int, ny: int, nz: int) -> None:
+        """Tile the system nx*ny*nz times along the box vectors, scaling the
+        box accordingly (system.rs:312; the solvate workhorse)."""
+        box = self.state.require_box()
+        reps = [
+            (i, j, k)
+            for i in range(nx)
+            for j in range(ny)
+            for k in range(nz)
+        ]
+        if len(reps) <= 1:
+            return
+        base_top = self.topology
+        base_coords = self.state.coords
+        m = box.matrix
+        tops = base_top
+        coords = [base_coords]
+        for (i, j, k) in reps[1:]:
+            shift = (i * m[:, 0] + j * m[:, 1] + k * m[:, 2]).astype(FLOAT)
+            tops = tops.concat(base_top)
+            coords.append(base_coords + shift)
+        self.topology = tops
+        self.state.coords = np.concatenate(coords)
+        self.state.velocities = None
+        self.state.forces = None
+        self.state.box = box.scale_vectors([nx, ny, nz])
+
+    def save(self, path: str) -> None:
+        from ..io import FileHandler
+
+        with FileHandler(path, "w") as fh:
+            fh.write(self.topology, self.state)
+
+
+class Sel:
+    """A bound, sorted, non-empty selection over a system."""
+
+    __slots__ = ("system", "indices")
+
+    def __init__(self, system: System, indices: np.ndarray):
+        if len(indices) == 0:
+            raise SelectionError("selection is empty")
+        self.system = system
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    # -- basics ---------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    @property
+    def topology(self) -> Topology:
+        return self.system.topology
+
+    @property
+    def state(self) -> State:
+        return self.system.state
+
+    @property
+    def coords(self) -> np.ndarray:
+        """(n, 3) coordinate copy (Python-binding semantics: get_coords)."""
+        return self.state.coords[self.indices].copy()
+
+    @coords.setter
+    def coords(self, value: np.ndarray) -> None:
+        self.state.coords[self.indices] = np.asarray(value, FLOAT).reshape(len(self), 3)
+
+    @property
+    def masses(self) -> np.ndarray:
+        return self.topology.mass[self.indices]
+
+    @property
+    def names(self) -> np.ndarray:
+        return self.topology.names(self.indices)
+
+    @property
+    def resnames(self) -> np.ndarray:
+        return self.topology.resnames(self.indices)
+
+    @property
+    def resids(self) -> np.ndarray:
+        return self.topology.resid[self.indices]
+
+    @property
+    def resindices(self) -> np.ndarray:
+        return self.topology.resindex[self.indices]
+
+    def __repr__(self) -> str:
+        return f"Sel({len(self)} atoms)"
+
+    # -- sub-selection / set algebra -------------------------------------------
+
+    def select(self, seldef: SelectionDef) -> "Sel":
+        """Sub-selection: evaluate within this selection as the global subset;
+        plain index defs are *local* (0..len) and remapped to global
+        (selection_def.rs local_to_global)."""
+        if isinstance(seldef, (str, SelectionExpr)):
+            idx = self.system._resolve_def(seldef, subset=self.indices)
+            return Sel(self.system, idx)
+        if isinstance(seldef, range):
+            local = np.arange(seldef.start, seldef.stop, seldef.step, dtype=np.int64)
+        elif isinstance(seldef, slice):
+            local = np.arange(*seldef.indices(len(self)), dtype=np.int64)
+        else:
+            local = np.unique(np.asarray(seldef, dtype=np.int64))
+        if len(local) == 0:
+            raise SelectionError("sub-selection is empty")
+        if local.min() < 0 or local.max() >= len(self):
+            raise SelectionError("sub-selection local index out of bounds")
+        return Sel(self.system, self.indices[local])
+
+    __call__ = select
+
+    def _check_same_system(self, other: "Sel") -> None:
+        if other.system is not self.system:
+            raise SelectionError("set operation on selections from different systems")
+
+    def __or__(self, other: "Sel") -> "Sel":
+        self._check_same_system(other)
+        return Sel(self.system, np.union1d(self.indices, other.indices))
+
+    def __and__(self, other: "Sel") -> "Sel":
+        self._check_same_system(other)
+        return Sel(self.system, np.intersect1d(self.indices, other.indices))
+
+    def __sub__(self, other: "Sel") -> "Sel":
+        self._check_same_system(other)
+        return Sel(self.system, np.setdiff1d(self.indices, other.indices))
+
+    def __invert__(self) -> "Sel":
+        mask = np.ones(self.system.n_atoms, dtype=bool)
+        mask[self.indices] = False
+        return Sel(self.system, np.nonzero(mask)[0])
+
+    # -- splits -----------------------------------------------------------------
+
+    def split_contig(self, key: Callable[[int], object] | np.ndarray) -> list["Sel"]:
+        """Split into contiguous runs of equal key values (traits.rs:254-297)."""
+        if callable(key):
+            vals = np.asarray([key(i) for i in self.indices])
+        else:
+            vals = np.asarray(key)[self.indices]
+        if len(vals) == 0:
+            return []
+        change = np.empty(len(vals), dtype=bool)
+        change[0] = True
+        change[1:] = vals[1:] != vals[:-1]
+        bounds = np.nonzero(change)[0].tolist() + [len(vals)]
+        return [
+            Sel(self.system, self.indices[a:b]) for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+
+    def split_resindex(self) -> list["Sel"]:
+        return self.split_contig(self.topology.resindex)
+
+    def split_chain(self) -> list["Sel"]:
+        """Group by chain value (all atoms of each chain, not just runs) —
+        the Python-binding semantics (molar_python selection.rs:1396-1414)."""
+        chains = self.topology.chain[self.indices]
+        return [
+            Sel(self.system, self.indices[chains == c]) for c in np.unique(chains)
+        ]
+
+    def split_molecule(self) -> list["Sel"]:
+        """Split by TPR molecule ranges, clipped at selection borders
+        (providers.rs:390-426)."""
+        mols = self.topology.molecules
+        out = []
+        for first, last in mols:
+            inside = self.indices[(self.indices >= first) & (self.indices <= last)]
+            if len(inside):
+                out.append(Sel(self.system, inside))
+        return out
+
+    def segment_ids(self, key: Optional[np.ndarray] = None) -> np.ndarray:
+        """Contiguous-run segment id per selected atom — the device-side form
+        of a split: feed to jax.ops.segment_* reductions."""
+        vals = (key if key is not None else self.topology.resindex)[self.indices]
+        change = np.empty(len(vals), dtype=bool)
+        change[0] = False
+        change[1:] = vals[1:] != vals[:-1]
+        return np.cumsum(change).astype(np.int32)
+
+    # -- measure -----------------------------------------------------------------
+
+    def _pbc_box(self, pbc: Optional[PbcDims]):
+        if pbc is None or not pbc.any:
+            return None, PBC_NONE
+        return self.state.require_box(), pbc
+
+    def min_max(self) -> tuple[np.ndarray, np.ndarray]:
+        from ..ops import measure_host as M
+
+        return M.min_max(self.state.coords[self.indices])
+
+    def com(self, pbc: Optional[PbcDims] = None) -> np.ndarray:
+        from ..ops import measure_host as M
+
+        box, dims = self._pbc_box(pbc)
+        c = self.state.coords[self.indices]
+        m = self.masses
+        if m.sum() == 0:
+            raise M.MeasureError("zero total mass")
+        if box is None:
+            return M.center(c, m)
+        return M.center_pbc(c, m, box, dims)
+
+    def cog(self, pbc: Optional[PbcDims] = None) -> np.ndarray:
+        from ..ops import measure_host as M
+
+        box, dims = self._pbc_box(pbc)
+        c = self.state.coords[self.indices]
+        if box is None:
+            return M.center(c, None)
+        return M.center_pbc(c, None, box, dims)
+
+    def gyration(self, pbc: Optional[PbcDims] = None) -> float:
+        from ..ops import measure_host as M
+
+        box, dims = self._pbc_box(pbc)
+        return M.gyration(self.state.coords[self.indices], self.masses, box, dims)
+
+    def inertia(self, pbc: Optional[PbcDims] = None):
+        from ..ops import measure_host as M
+
+        box, dims = self._pbc_box(pbc)
+        return M.inertia(self.state.coords[self.indices], self.masses, box, dims)
+
+    def principal_transform(self, pbc: Optional[PbcDims] = None):
+        from ..ops import measure_host as M
+
+        box, dims = self._pbc_box(pbc)
+        return M.principal_transform(
+            self.state.coords[self.indices], self.masses, box, dims
+        )
+
+    def rmsd(self, other: "Sel") -> float:
+        from ..ops import measure_host as M
+
+        return M.rmsd(self.coords, other.coords)
+
+    def rmsd_mw(self, other: "Sel") -> float:
+        from ..ops import measure_host as M
+
+        return M.rmsd_mw(self.coords, other.coords, self.masses)
+
+    def fit_transform(self, other: "Sel"):
+        """(R, t) superimposing self onto other (mass-weighted by self)."""
+        from ..ops import measure_host as M
+
+        return M.fit_transform(self.coords, other.coords, self.masses)
+
+    def fit(self, other: "Sel") -> None:
+        """Fit self's *whole system* coordinates onto other (in place)."""
+        r, t = self.fit_transform(other)
+        self.apply_transform(r, t)
+
+    # -- modify ------------------------------------------------------------------
+
+    def translate(self, shift) -> None:
+        self.state.coords[self.indices] += np.asarray(shift, FLOAT)
+
+    def apply_transform(self, r: np.ndarray, t: np.ndarray) -> None:
+        c = self.state.coords[self.indices].astype(np.float64)
+        self.state.coords[self.indices] = (c @ np.asarray(r).T + np.asarray(t)).astype(
+            FLOAT
+        )
+
+    def rotate(self, axis, angle: float, pivot: Optional[np.ndarray] = None) -> None:
+        """Rotate about an axis through ``pivot`` (default: COG) by ``angle``
+        radians (modify.rs:15-40)."""
+        axis = np.asarray(axis, dtype=np.float64)
+        axis = axis / np.linalg.norm(axis)
+        if pivot is None:
+            pivot = self.cog()
+        k = axis
+        kx = np.array(
+            [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], dtype=np.float64
+        )
+        r = np.eye(3) + np.sin(angle) * kx + (1 - np.cos(angle)) * (kx @ kx)
+        t = pivot - r @ pivot
+        self.apply_transform(r, t)
+
+    def unwrap_simple(self, pbc: PbcDims = PBC_FULL) -> None:
+        """Move every atom to its closest image relative to the selection's
+        first atom (modify.rs unwrap_simple)."""
+        box = self.state.require_box()
+        c = self.state.coords[self.indices]
+        ref = c[0]
+        self.state.coords[self.indices] = ref + box.shortest_vector(c - ref, pbc)
+
+    def wrap(self) -> None:
+        """Wrap selected atoms into the primary cell (conventional wrap)."""
+        box = self.state.require_box()
+        self.state.coords[self.indices] = box.wrap_conventional(
+            self.state.coords[self.indices]
+        )
+
+    # -- distance search ----------------------------------------------------------
+
+    def within_of(self, cutoff: float, other: "Sel", pbc: PbcDims = PBC_NONE) -> "Sel":
+        """Atoms of self within cutoff of other (self-inclusive at d=0)."""
+        from ..ops import neighbor_host
+
+        box = self.state.box if pbc.any else None
+        found = neighbor_host.search_within(
+            cutoff, self.state.coords, self.indices, other.indices, box, pbc
+        )
+        return Sel(self.system, found)
+
+    # -- io -------------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        from ..io import FileHandler
+
+        with FileHandler(path, "w") as fh:
+            fh.write(self.topology, self.state, indices=self.indices)
+
+    def to_gromacs_ndx(self, name: str) -> str:
+        """Gromacs ndx group text (1-based; providers.rs as_gromacs_ndx_str)."""
+        lines = [f"[ {name} ]"]
+        vals = self.indices + 1
+        for i in range(0, len(vals), 15):
+            lines.append(" ".join(str(v) for v in vals[i : i + 15]))
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,188 @@
+"""Host (numpy) geometric measures: centers, gyration, inertia, RMSD, Kabsch.
+
+Numerics follow the reference ``Measure`` trait (molar/src/measure.rs):
+
+* PBC-aware centers accumulate each point's closest image **relative to the
+  first atom** of the selection (measure.rs:142-195) — not wrap-then-average;
+* gyration/inertia use the min-image displacement from the (PBC) center
+  (measure.rs:222-257);
+* Kabsch: covariance ``sum m * p2 p1^T``, SVD, reflection fix via
+  ``sign(det(U V^T))``, result ``T(cm2) . R . T(-cm1)`` (measure.rs:507-643);
+* inertia eigenvalues ascending, third axis = cross of the first two
+  (right-handed, measure.rs:592-607);
+* zero total mass is an error wherever COM is involved.
+
+These are the ground truth the jitted device kernels
+(:mod:`molar_tpu.ops.measure`) are validated against (1e-5 RMSD contract).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import FLOAT
+from ..core.pbc import PBC_FULL, PbcDims, PeriodicBox
+
+
+class MeasureError(ValueError):
+    pass
+
+
+def _weights(coords: np.ndarray, weights: Optional[np.ndarray]) -> np.ndarray:
+    if weights is None:
+        return np.ones(coords.shape[0], dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if w.sum() == 0.0:
+        raise MeasureError("zero total mass")
+    return w
+
+
+def min_max(coords: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return coords.min(axis=0), coords.max(axis=0)
+
+
+def center(coords: np.ndarray, weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """COM (weights=masses) or COG (weights=None)."""
+    w = _weights(coords, weights)
+    return (w[:, None] * coords.astype(np.float64)).sum(axis=0) / w.sum()
+
+
+def center_pbc(
+    coords: np.ndarray,
+    weights: Optional[np.ndarray],
+    box: PeriodicBox,
+    pbc: PbcDims = PBC_FULL,
+) -> np.ndarray:
+    """PBC-aware center: average of closest images relative to atom 0."""
+    ref = coords[0]
+    imgs = ref + box.shortest_vector(coords - ref, pbc)
+    return center(imgs, weights)
+
+
+def gyration(
+    coords: np.ndarray,
+    masses: np.ndarray,
+    box: Optional[PeriodicBox] = None,
+    pbc: PbcDims = PBC_FULL,
+) -> float:
+    """Radius of gyration about the COM (min-image displacements if pbc)."""
+    if box is not None:
+        c = center_pbc(coords, masses, box, pbc)
+        d = box.shortest_vector(coords - c.astype(FLOAT), pbc).astype(np.float64)
+    else:
+        c = center(coords, masses)
+        d = coords.astype(np.float64) - c
+    w = _weights(coords, masses)
+    return float(np.sqrt((w * np.sum(d * d, axis=1)).sum() / w.sum()))
+
+
+def inertia_tensor(
+    coords: np.ndarray,
+    masses: np.ndarray,
+    box: Optional[PeriodicBox] = None,
+    pbc: PbcDims = PBC_FULL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(tensor 3x3, com) about the (PBC) center of mass."""
+    if box is not None:
+        c = center_pbc(coords, masses, box, pbc)
+        d = box.shortest_vector(coords - c.astype(FLOAT), pbc).astype(np.float64)
+    else:
+        c = center(coords, masses)
+        d = coords.astype(np.float64) - c
+    m = _weights(coords, masses)
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    xx = (m * (y * y + z * z)).sum()
+    yy = (m * (x * x + z * z)).sum()
+    zz = (m * (x * x + y * y)).sum()
+    xy = -(m * x * y).sum()
+    xz = -(m * x * z).sum()
+    yz = -(m * y * z).sum()
+    t = np.array([[xx, xy, xz], [xy, yy, yz], [xz, yz, zz]])
+    return t, c
+
+
+def inertia(
+    coords: np.ndarray,
+    masses: np.ndarray,
+    box: Optional[PeriodicBox] = None,
+    pbc: PbcDims = PBC_FULL,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(moments ascending, axes as columns (right-handed), com)."""
+    t, c = inertia_tensor(coords, masses, box, pbc)
+    vals, vecs = np.linalg.eigh(t)  # eigh returns ascending already
+    axes = vecs.copy()
+    axes[:, 2] = np.cross(axes[:, 0], axes[:, 1])  # enforce right-handedness
+    return vals, axes, c
+
+
+def principal_transform(
+    coords: np.ndarray,
+    masses: np.ndarray,
+    box: Optional[PeriodicBox] = None,
+    pbc: PbcDims = PBC_FULL,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(R, t) affine taking the selection to its principal-axes frame about the
+    COM (measure.rs:646-649): x -> R (x - com) + com with R = axes^-1."""
+    _, axes, com = inertia(coords, masses, box, pbc)
+    r = np.linalg.inv(axes)
+    t = com - r @ com
+    return r, t
+
+
+def rmsd(coords1: np.ndarray, coords2: np.ndarray) -> float:
+    if coords1.shape != coords2.shape:
+        raise MeasureError("rmsd requires selections of equal size")
+    d = coords1.astype(np.float64) - coords2.astype(np.float64)
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))
+
+
+def rmsd_mw(coords1: np.ndarray, coords2: np.ndarray, masses1: np.ndarray) -> float:
+    if coords1.shape != coords2.shape:
+        raise MeasureError("rmsd requires selections of equal size")
+    m = _weights(coords1, masses1)
+    d = coords1.astype(np.float64) - coords2.astype(np.float64)
+    return float(np.sqrt((m * np.sum(d * d, axis=1)).sum() / m.sum()))
+
+
+def rot_transform(
+    centered1: np.ndarray, centered2: np.ndarray, masses: np.ndarray
+) -> np.ndarray:
+    """Kabsch rotation R minimizing sum m |R p1 - p2|^2 for centered inputs."""
+    m = _weights(centered1, masses)
+    cov = (m[:, None] * centered2.astype(np.float64)).T @ centered1.astype(np.float64)
+    u, s, vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(u @ vt))
+    fix = np.diag([1.0, 1.0, d])
+    return u @ fix @ vt
+
+
+def fit_transform(
+    coords1: np.ndarray,
+    coords2: np.ndarray,
+    masses1: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(R, t): affine x -> R x + t superimposing sel1 onto sel2
+    (mass-weighted by sel1 masses; measure.rs:507-522)."""
+    if coords1.shape != coords2.shape:
+        raise MeasureError("fit requires selections of equal size")
+    m = _weights(coords1, masses1)
+    cm1 = center(coords1, m)
+    cm2 = center(coords2, m)
+    r = rot_transform(coords1 - cm1, coords2 - cm2, m)
+    t = cm2 - r @ cm1
+    return r, t
+
+
+def fit_transform_at_origin(
+    coords1: np.ndarray, coords2: np.ndarray, masses1: np.ndarray
+) -> np.ndarray:
+    """Rotation-only fit (no translations; measure.rs fit_transform_at_origin)."""
+    if coords1.shape != coords2.shape:
+        raise MeasureError("fit requires selections of equal size")
+    return rot_transform(coords1, coords2, _weights(coords1, masses1))
+
+
+def apply_transform(coords: np.ndarray, r: np.ndarray, t: np.ndarray) -> np.ndarray:
+    return (coords.astype(np.float64) @ r.T + t).astype(coords.dtype)
