@@ -1,0 +1,197 @@
+"""Device (JAX) batched geometric measures.
+
+The TPU execution model for per-frame analysis (SURVEY §7 / measure.rs
+semantics): gather the selection's atoms once per frame window into
+``(B, n, 3)`` blocks resident in HBM, then run every frame of the window
+through one jitted, vmapped program. All functions here are pure jnp,
+broadcast over arbitrary leading batch dims, and keep the reference numerics:
+
+* PBC centers accumulate closest images relative to atom 0 (measure.rs:142-195);
+* Kabsch: covariance ``sum m p2 p1^T``, SVD, ``sign(det(U V^T))`` reflection
+  fix (measure.rs:613-643);
+* inertia eigenvalues ascending, third axis = cross of first two.
+
+Matmul-shaped contractions (covariance, inertia) use
+``precision='highest'`` so the MXU's default bf16 rounding cannot break the
+1e-5 fidelity contract; everything else is VPU element-wise math.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.pbc import mat3_apply
+
+__all__ = [
+    "center",
+    "center_pbc",
+    "gyration",
+    "inertia_tensor",
+    "rmsd",
+    "rmsd_mw",
+    "kabsch",
+    "fit_transform",
+    "apply_transform",
+    "fit_rmsd",
+    "min_image",
+]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def min_image(vec, boxes, invs, corrections=None, pbc=(True, True, True)):
+    """Batched minimum-image: ``vec`` (..., 3), ``boxes``/``invs`` broadcastable
+    (..., 3, 3) against vec's batch dims; ``corrections`` (..., K, 3) or None.
+
+    ``pbc`` is static. Mirrors core.pbc.shortest_vector but with per-frame
+    boxes (matrices batched along leading dims).
+    """
+    frac = jnp.einsum("...ij,...j->...i", invs, vec, precision=_HI)
+    if all(pbc):
+        frac = frac - jnp.round(frac)
+    elif any(pbc):
+        dims = jnp.asarray(pbc)
+        frac = jnp.where(dims, frac - jnp.round(frac), frac)
+    start = jnp.einsum("...ij,...j->...i", boxes, frac, precision=_HI)
+    if corrections is None or not all(pbc):
+        return start
+    # corrections: (..., K, 3) — candidate shifts; zero rows are no-ops.
+    cands = start[..., None, :] + corrections
+    n2 = jnp.sum(cands * cands, axis=-1)
+    start2 = jnp.sum(start * start, axis=-1)
+    best = jnp.argmin(n2, axis=-1)
+    cand_best = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    cand_n2 = jnp.take_along_axis(n2, best[..., None], axis=-1)[..., 0]
+    return jnp.where((cand_n2 < start2)[..., None], cand_best, start)
+
+
+def center(coords, weights=None):
+    """(..., n, 3) -> (..., 3). COM (weights (n,)) or COG (None)."""
+    if weights is None:
+        return jnp.mean(coords, axis=-2)
+    w = weights / jnp.sum(weights)
+    return jnp.einsum("n,...ni->...i", w, coords, precision=_HI)
+
+
+def center_pbc(coords, weights, boxes, invs, corrections=None, pbc=(True, True, True)):
+    """PBC-aware center: closest images relative to atom 0, then average.
+
+    ``boxes``/``invs``: (..., 3, 3) batched per frame; coords (..., n, 3)."""
+    ref = coords[..., 0:1, :]
+    d = coords - ref
+    img = ref + min_image(
+        d,
+        boxes[..., None, :, :],
+        invs[..., None, :, :],
+        None if corrections is None else corrections[..., None, :, :],
+        pbc,
+    )
+    return center(img, weights)
+
+
+def gyration(coords, masses, boxes=None, invs=None, corrections=None, pbc=(True, True, True)):
+    """Radius of gyration (..., n, 3) -> (...,)."""
+    if boxes is None:
+        c = center(coords, masses)
+        d = coords - c[..., None, :]
+    else:
+        c = center_pbc(coords, masses, boxes, invs, corrections, pbc)
+        d = min_image(
+            coords - c[..., None, :],
+            boxes[..., None, :, :],
+            invs[..., None, :, :],
+            None if corrections is None else corrections[..., None, :, :],
+            pbc,
+        )
+    w = masses / jnp.sum(masses)
+    return jnp.sqrt(jnp.einsum("n,...n->...", w, jnp.sum(d * d, axis=-1), precision=_HI))
+
+
+def inertia_tensor(coords, masses, boxes=None, invs=None, corrections=None, pbc=(True, True, True)):
+    """(..., 3, 3) inertia tensor about the (PBC) COM + the COM (..., 3)."""
+    if boxes is None:
+        c = center(coords, masses)
+        d = coords - c[..., None, :]
+    else:
+        c = center_pbc(coords, masses, boxes, invs, corrections, pbc)
+        d = min_image(
+            coords - c[..., None, :],
+            boxes[..., None, :, :],
+            invs[..., None, :, :],
+            None if corrections is None else corrections[..., None, :, :],
+            pbc,
+        )
+    r2 = jnp.sum(d * d, axis=-1)
+    # I = sum m (r^2 δij - xi xj)
+    outer = jnp.einsum("...ni,...nj,n->...ij", d, d, masses, precision=_HI)
+    tr = jnp.einsum("...n,n->...", r2, masses, precision=_HI)
+    eye = jnp.eye(3, dtype=coords.dtype)
+    return tr[..., None, None] * eye - outer, c
+
+
+def inertia(coords, masses, boxes=None, invs=None, corrections=None, pbc=(True, True, True)):
+    """(moments ascending, axes columns right-handed, com)."""
+    t, c = inertia_tensor(coords, masses, boxes, invs, corrections, pbc)
+    vals, vecs = jnp.linalg.eigh(t)
+    third = jnp.cross(vecs[..., :, 0], vecs[..., :, 1])
+    axes = jnp.stack([vecs[..., :, 0], vecs[..., :, 1], third], axis=-1)
+    return vals, axes, c
+
+
+def rmsd(coords1, coords2):
+    """(..., n, 3) x (..., n, 3) -> (...,). Plain (unweighted) RMSD."""
+    d = coords1 - coords2
+    return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1), axis=-1))
+
+
+def rmsd_mw(coords1, coords2, masses):
+    w = masses / jnp.sum(masses)
+    d = coords1 - coords2
+    return jnp.sqrt(jnp.einsum("n,...n->...", w, jnp.sum(d * d, axis=-1), precision=_HI))
+
+
+def kabsch(centered1, centered2, masses):
+    """Optimal rotation R (..., 3, 3) minimizing sum m |R p1 - p2|^2.
+
+    Inputs are COM-centered (..., n, 3). Batched 3x3 SVD with the reflection
+    fix via sign(det(U V^T)) (measure.rs:613-643).
+    """
+    m = masses / jnp.sum(masses)
+    cov = jnp.einsum("...ni,...nj,n->...ij", centered2, centered1, m, precision=_HI)
+    u, s, vt = jnp.linalg.svd(cov, full_matrices=False)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt, precision=_HI))
+    fix = jnp.stack(
+        [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
+    )
+    return jnp.einsum("...ik,...k,...kj->...ij", u, fix, vt, precision=_HI)
+
+
+def fit_transform(coords1, coords2, masses):
+    """(R, t) superimposing sel1 onto sel2, mass-weighted by sel1
+    (measure.rs:507-522). Batched over leading dims."""
+    cm1 = center(coords1, masses)
+    cm2 = center(coords2, masses)
+    r = kabsch(coords1 - cm1[..., None, :], coords2 - cm2[..., None, :], masses)
+    t = cm2 - jnp.einsum("...ij,...j->...i", r, cm1, precision=_HI)
+    return r, t
+
+
+def apply_transform(coords, r, t):
+    """(..., n, 3) with affine (..., 3, 3), (..., 3)."""
+    return jnp.einsum("...ij,...nj->...ni", r, coords, precision=_HI) + t[..., None, :]
+
+
+def fit_rmsd(mobile, ref, masses):
+    """RMSD of mobile frames to ref after optimal (mass-weighted) fit.
+
+    ``mobile``: (..., n, 3) batched frames; ``ref``: (n, 3). The headline
+    per-frame trajectory op (align benchmark, comparison_small.rs:7-28).
+    Returns (rmsd (...,), r, t).
+    """
+    r, t = fit_transform(mobile, jnp.broadcast_to(ref, mobile.shape), masses)
+    fitted = apply_transform(mobile, r, t)
+    return rmsd_mw(fitted, ref, masses), r, t
