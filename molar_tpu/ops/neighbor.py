@@ -1,0 +1,468 @@
+"""Device (JAX) cell-grid neighbor search with periodic minimum-image.
+
+The TPU re-expression of the reference's rayon cell-pair search
+(molar/src/distance_search.rs): points are binned to cells with a
+sort + searchsorted, cells materialize as a fixed-capacity (n_cells, cap)
+member table, and each query atom scans its 27-cell neighborhood. All shapes
+are static, so the whole search jits, vmaps over frames, and fuses with the
+downstream analysis. Parallelism = the atom axis on the VPU x frames via
+vmap (vs. rayon work-stealing over cell pairs).
+
+TPU layout note: the hot path is **structure-of-arrays** — x/y/z live in
+separate (n,) planes and candidate blocks are (n, cap). A (n, cap, 3) AoS
+layout would make XLA tile the size-3 axis into 128 lanes (a 42x memory
+blowup on gather outputs — observed as a 32 GB allocation for a 100k-atom
+frame window). Min-image is computed componentwise from the box matrix
+scalars on the VPU.
+
+Static-shape contract:
+
+* ``dims`` (cells per axis) is a static arg — compute it host-side from the
+  window's smallest box via :func:`grid_dims` (cells never smaller than the
+  cutoff => correctness is invariant to dims, only speed changes);
+* ``cap`` (max atoms/cell) is static; searches return an ``overflow`` flag —
+  on True, the caller re-jits with a bigger cap (fixed-capacity + retry,
+  SURVEY §7 hard part #1);
+* contact lists are fixed-capacity ``(max_pairs, 2)`` + count (+ overflow).
+
+The cutoff test is inclusive (d^2 <= cutoff^2, distance_search.rs:287) and an
+atom present in both sets matches itself at d=0 (VMD-compatible `within`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["grid_dims", "cell_table", "within_mask", "contact_pairs"]
+
+_HI = jax.lax.Precision.HIGHEST
+
+_OFFSETS = np.array(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    dtype=np.int32,
+)
+
+
+def grid_dims(box_lengths, cutoff: float) -> tuple[int, int, int]:
+    """Static per-axis cell counts: max(floor(extent/cutoff), 1)
+    (distance_search.rs:103-114). Host helper."""
+    return tuple(max(int(np.floor(float(l) / cutoff)), 1) for l in box_lengths)
+
+
+def _mat3_cols(m):
+    """The nine scalars of a (3,3) matrix (works for traced per-frame boxes)."""
+    return (
+        m[0, 0], m[0, 1], m[0, 2],
+        m[1, 0], m[1, 1], m[1, 2],
+        m[2, 0], m[2, 1], m[2, 2],
+    )
+
+
+def _apply3(m, x, y, z):
+    """Componentwise m @ (x,y,z) for broadcast component planes."""
+    m00, m01, m02, m10, m11, m12, m20, m21, m22 = _mat3_cols(m)
+    return (
+        m00 * x + m01 * y + m02 * z,
+        m10 * x + m11 * y + m12 * z,
+        m20 * x + m21 * y + m22 * z,
+    )
+
+
+def _min_image_d2(dx, dy, dz, box, inv, corrections, pbc):
+    """Squared min-image norm of component planes (any broadcast shape)."""
+    fx, fy, fz = _apply3(inv, dx, dy, dz)
+    if pbc[0]:
+        fx = fx - jnp.round(fx)
+    if pbc[1]:
+        fy = fy - jnp.round(fy)
+    if pbc[2]:
+        fz = fz - jnp.round(fz)
+    sx, sy, sz = _apply3(box, fx, fy, fz)
+    d2 = sx * sx + sy * sy + sz * sz
+    if corrections is None or not all(pbc):
+        return d2
+    # Triclinic correction: keep the shortest among the candidate shifts
+    # (periodic_box.rs:286-318). corrections: (K, 3); zero rows are no-ops.
+    best = d2
+    for k in range(corrections.shape[0]):
+        cx = sx + corrections[k, 0]
+        cy = sy + corrections[k, 1]
+        cz = sz + corrections[k, 2]
+        best = jnp.minimum(best, cx * cx + cy * cy + cz * cz)
+    return best
+
+
+def _wrap_frac(coords, inv):
+    fx, fy, fz = _apply3(inv, coords[..., 0], coords[..., 1], coords[..., 2])
+    fx = fx - jnp.floor(fx)
+    fy = fy - jnp.floor(fy)
+    fz = fz - jnp.floor(fz)
+    return fx, fy, fz
+
+
+def _cell3(fx, fy, fz, dims):
+    cx = jnp.clip((fx * dims[0]).astype(jnp.int32), 0, dims[0] - 1)
+    cy = jnp.clip((fy * dims[1]).astype(jnp.int32), 0, dims[1] - 1)
+    cz = jnp.clip((fz * dims[2]).astype(jnp.int32), 0, dims[2] - 1)
+    return cx, cy, cz
+
+
+def _rank_in_run(sorted_flat):
+    """Rank of each element within its run of equal values (sorted input).
+
+    ``i - cummax(run_start_positions)`` — an associative scan, NOT
+    jnp.searchsorted(x, x): the binary-search lowering measured 104 ms for
+    100k elements on TPU vs ~2 ms for the scan.
+    """
+    m = sorted_flat.shape[0]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones(1, dtype=bool), sorted_flat[1:] != sorted_flat[:-1]]
+    )
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+    return idx - run_start
+
+
+def cell_table(fx, fy, fz, dims: tuple[int, int, int], cap: int):
+    """Bucket points by cell. Returns ((n_cells, cap) member table padded
+    with -1, overflow bool)."""
+    cx, cy, cz = _cell3(fx, fy, fz, dims)
+    flat = (cx * dims[1] + cy) * dims[2] + cz
+    n_cells = dims[0] * dims[1] * dims[2]
+    order = jnp.argsort(flat)
+    sorted_flat = flat[order]
+    rank = _rank_in_run(sorted_flat)
+    overflow = jnp.any(rank >= cap)
+    slot = sorted_flat * cap + jnp.minimum(rank, cap - 1)
+    table = (
+        jnp.full((n_cells * cap,), -1, dtype=jnp.int32)
+        .at[slot]
+        .set(order.astype(jnp.int32))
+        .reshape(n_cells, cap)
+    )
+    return table, overflow
+
+
+def _neighbor_cell_ids(cx, cy, cz, off, dims, pbc):
+    """Flat neighbor-cell id for one (3,) offset; -1 if out of range."""
+    valid = jnp.ones(cx.shape, dtype=bool)
+    ids = []
+    for comp, d, per in ((cx, 0, pbc[0]), (cy, 1, pbc[1]), (cz, 2, pbc[2])):
+        c = comp + off[d]
+        if per:
+            c = jnp.mod(c, dims[d])
+        else:
+            valid = valid & (c >= 0) & (c < dims[d])
+            c = jnp.clip(c, 0, dims[d] - 1)
+        ids.append(c)
+    flat = (ids[0] * dims[1] + ids[1]) * dims[2] + ids[2]
+    return jnp.where(valid, flat, -1)
+
+
+def _dedupe_small_grid(nb_ids):
+    """(n, 27) neighbor ids -> duplicates masked to -1 (tiny periodic grids
+    alias different offsets to the same cell)."""
+    s = jnp.sort(nb_ids, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((s.shape[0], 1), bool), s[:, 1:] == s[:, :-1]], axis=1
+    )
+    return jnp.where(dup, -1, s)
+
+
+def _search_core(
+    coords, src_idx, tgt_idx, cutoff, box, inv, corrections, dims, cap, pbc
+):
+    """Shared setup for the cell search.
+
+    Returns (nb_ids (n, 27) flat neighbor-cell ids (-1 invalid), table,
+    overflow, a ``step(cells) -> (members, hit)`` function, and the wrapped
+    src/tgt component planes). Callers drive the 27 offsets through
+    ``lax.fori_loop`` — one compiled body instead of a 27x-unrolled graph
+    (which took ~27 x 15 s of XLA compile time at 100k atoms).
+    """
+    src = coords[src_idx]
+    tgt = coords[tgt_idx]
+    sfx, sfy, sfz = _wrap_frac(src, inv)
+    tfx, tfy, tfz = _wrap_frac(tgt, inv)
+    # Wrapped lab coordinates: small displacements, single min-image exact.
+    sx, sy, sz = _apply3(box, sfx, sfy, sfz)
+    tx, ty, tz = _apply3(box, tfx, tfy, tfz)
+    table, overflow = cell_table(tfx, tfy, tfz, dims, cap)
+    cx, cy, cz = _cell3(sfx, sfy, sfz, dims)
+
+    nb_ids = jnp.stack(
+        [_neighbor_cell_ids(cx, cy, cz, _OFFSETS[o], dims, pbc) for o in range(27)],
+        axis=1,
+    )  # (n, 27) — 27 tiny int ops; the heavy work stays in the loop body
+    if min(dims) <= 2:
+        nb_ids = _dedupe_small_grid(nb_ids)
+
+    c2 = jnp.asarray(cutoff, src.dtype) ** 2
+
+    def step(cells):
+        ok = cells >= 0
+        members = table[jnp.maximum(cells, 0)]  # (n, cap)
+        valid = ok[:, None] & (members >= 0)
+        cand = jnp.maximum(members, 0)
+        dx = tx[cand] - sx[:, None]
+        dy = ty[cand] - sy[:, None]
+        dz = tz[cand] - sz[:, None]
+        d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
+        return members, valid & (d2 <= c2)
+
+    return nb_ids, table, overflow, step, (sx, sy, sz), (tx, ty, tz)
+
+
+def _blocked_planes(values_list, flat, n_cells: int, cap: int, fill):
+    """Scatter per-point planes into cell-blocked (n_cells, cap) layout.
+
+    Returns (blocked planes, slot per point (sorted order), order, overflow).
+    This is the TPU-shaped cell grid: per-cell rows are contiguous, so the
+    neighbor scan is a row gather + dense block math instead of random
+    per-atom gathers (which measured ~2 s/frame at 100k atoms).
+    """
+    order = jnp.argsort(flat)
+    sorted_flat = flat[order]
+    rank = _rank_in_run(sorted_flat)
+    overflow = jnp.any(rank >= cap)
+    slot = sorted_flat * cap + jnp.minimum(rank, cap - 1)
+    out = []
+    for v, f in zip(values_list, fill):
+        out.append(
+            jnp.full((n_cells * cap,), f, dtype=v.dtype)
+            .at[slot]
+            .set(v[order])
+            .reshape(n_cells, cap)
+        )
+    return out, slot, order, overflow
+
+
+def _cell_neighbor_ids(dims, pbc):
+    """(n_cells, 27) flat neighbor ids for every cell (host-precomputable but
+    cheap enough to trace; -1 for out-of-range non-periodic)."""
+    nx, ny, nz = dims
+    cx, cy, cz = np.meshgrid(
+        np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+    )
+    cell3 = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)  # (n_cells, 3)
+    nb = cell3[:, None, :] + _OFFSETS[None, :, :]
+    valid = np.ones(nb.shape[:2], dtype=bool)
+    for d, per in enumerate(pbc):
+        if per:
+            nb[:, :, d] %= dims[d]
+        else:
+            valid &= (nb[:, :, d] >= 0) & (nb[:, :, d] < dims[d])
+            nb[:, :, d] = np.clip(nb[:, :, d], 0, dims[d] - 1)
+    flat = (nb[:, :, 0] * ny + nb[:, :, 1]) * nz + nb[:, :, 2]
+    flat = np.where(valid, flat, -1)
+    if min(dims) <= 2:
+        # Tiny periodic grids: offsets alias; mask duplicates per cell row.
+        s = np.sort(flat, axis=1)
+        dup = np.zeros_like(s, dtype=bool)
+        dup[:, 1:] = s[:, 1:] == s[:, :-1]
+        flat = np.where(dup, -1, s)
+    return flat
+
+
+def within_mask(
+    coords,
+    src_idx,
+    tgt_idx,
+    cutoff: float,
+    box,
+    inv,
+    corrections=None,
+    dims: tuple[int, int, int] = (1, 1, 1),
+    cap: int = 32,
+    pbc=(True, True, True),
+    tgt_cap: Optional[int] = None,
+    max_tgt_cells: Optional[int] = None,
+):
+    """Boolean mask over ``src_idx``: has >= 1 partner in ``tgt_idx`` within
+    cutoff (min-image). One frame; vmap over a leading frame axis for windows.
+
+    Cell-blocked algorithm: both sets are bucketed into (n_cells, cap) planes,
+    and each of the 27 offsets is one dense (n_cells, cap_src, cap_tgt)
+    distance block — structured row gathers + VPU math only. With
+    ``max_tgt_cells`` set (static), the sparse-target variant iterates only
+    the occupied target cells (the right choice when the target selection is
+    much smaller than the system).
+
+    Returns (mask (len(src_idx),), overflow bool). ``dims``/``cap``/``pbc``
+    static; ``cap`` bounds src cells, ``tgt_cap`` (default cap) target cells.
+    """
+    tgt_cap = tgt_cap or cap
+    n_cells = dims[0] * dims[1] * dims[2]
+    src = coords[src_idx]
+    tgt = coords[tgt_idx]
+    sfx, sfy, sfz = _wrap_frac(src, inv)
+    tfx, tfy, tfz = _wrap_frac(tgt, inv)
+    sx, sy, sz = _apply3(box, sfx, sfy, sfz)
+    tx, ty, tz = _apply3(box, tfx, tfy, tfz)
+
+    scx, scy, scz = _cell3(sfx, sfy, sfz, dims)
+    sflat = (scx * dims[1] + scy) * dims[2] + scz
+    tcx, tcy, tcz = _cell3(tfx, tfy, tfz, dims)
+    tflat = (tcx * dims[1] + tcy) * dims[2] + tcz
+
+    # Pad slots carry an explicit validity plane — a coordinate sentinel
+    # (like 1e30) would survive min-image rounding as d=0 and false-hit.
+    zero = jnp.asarray(0.0, src.dtype)
+    ones_s = jnp.ones(src.shape[0], dtype=bool)
+    ones_t = jnp.ones(tgt.shape[0], dtype=bool)
+    (sxb, syb, szb, svalid), s_slot, s_order, s_ofl = _blocked_planes(
+        [sx, sy, sz, ones_s], sflat, n_cells, cap, [zero, zero, zero, False]
+    )
+    (txb, tyb, tzb, tvalid), _, _, t_ofl = _blocked_planes(
+        [tx, ty, tz, ones_t], tflat, n_cells, tgt_cap, [zero, zero, zero, False]
+    )
+
+    nb_ids = jnp.asarray(_cell_neighbor_ids(dims, pbc))  # (n_cells, 27)
+    c2 = jnp.asarray(cutoff, src.dtype) ** 2
+
+    if max_tgt_cells is not None:
+        # Sparse-target path: iterate the occupied *target* cells only and
+        # scatter hits into the neighboring source-cell blocks. When the
+        # target selection covers a small fraction of the grid (ligand,
+        # protein core), this skips the ~90% of cell rows whose whole
+        # neighborhood is empty. ``max_tgt_cells`` is the static capacity for
+        # the occupied-cell list (overflow flag covers the excess).
+        sorted_t = jnp.sort(tflat)
+        is_first = jnp.concatenate(
+            [jnp.ones(1, bool), sorted_t[1:] != sorted_t[:-1]]
+        )
+        (occ_pos,) = jnp.nonzero(is_first, size=max_tgt_cells, fill_value=-1)
+        occ_ofl = jnp.sum(is_first) > max_tgt_cells
+        occ_valid = occ_pos >= 0
+        occ = jnp.where(occ_valid, sorted_t[jnp.maximum(occ_pos, 0)], 0)
+        # 3d coords of occupied cells
+        ocx = occ // (dims[1] * dims[2])
+        ocy = (occ // dims[2]) % dims[1]
+        ocz = occ % dims[2]
+        otx = txb[occ][:, None, :]  # (T, 1, tgt_cap)
+        oty = tyb[occ][:, None, :]
+        otz = tzb[occ][:, None, :]
+        otv = tvalid[occ][:, None, :] & occ_valid[:, None, None]
+
+        def body(o, hit_blocks):
+            off = jnp.asarray(_OFFSETS)[o]
+            ok = occ_valid
+            cs = []
+            for comp, d, per in ((ocx, 0, pbc[0]), (ocy, 1, pbc[1]), (ocz, 2, pbc[2])):
+                c = comp + off[d]
+                if per:
+                    c = jnp.mod(c, dims[d])
+                else:
+                    ok = ok & (c >= 0) & (c < dims[d])
+                    c = jnp.clip(c, 0, dims[d] - 1)
+                cs.append(c)
+            scells = (cs[0] * dims[1] + cs[1]) * dims[2] + cs[2]  # (T,)
+            nsx = sxb[scells][:, :, None]  # (T, cap, 1)
+            nsy = syb[scells][:, :, None]
+            nsz = szb[scells][:, :, None]
+            dx = otx - nsx
+            dy = oty - nsy
+            dz = otz - nsz
+            d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
+            hit = jnp.any(otv & (d2 <= c2), axis=2) & ok[:, None]  # (T, cap)
+            return hit_blocks.at[scells].max(hit)
+
+        hit_blocks = jax.lax.fori_loop(
+            0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
+        )
+        hit_blocks = hit_blocks & svalid
+        hit_sorted = hit_blocks.reshape(-1)[s_slot]
+        mask = jnp.zeros(src.shape[0], dtype=bool).at[s_order].set(hit_sorted)
+        return mask, s_ofl | t_ofl | occ_ofl
+
+    def body(o, hit_blocks):
+        cells = jax.lax.dynamic_index_in_dim(nb_ids, o, axis=1, keepdims=False)
+        ok = (cells >= 0)[:, None, None]
+        safe = jnp.maximum(cells, 0)
+        ntx = txb[safe][:, None, :]  # (n_cells, 1, tgt_cap) row gather
+        nty = tyb[safe][:, None, :]
+        ntz = tzb[safe][:, None, :]
+        ntv = tvalid[safe][:, None, :]
+        dx = ntx - sxb[:, :, None]
+        dy = nty - syb[:, :, None]
+        dz = ntz - szb[:, :, None]
+        d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
+        hit = jnp.any(ok & ntv & (d2 <= c2), axis=2)  # (n_cells, cap)
+        return hit_blocks | hit
+
+    hit_blocks = jax.lax.fori_loop(
+        0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
+    )
+    hit_blocks = hit_blocks & svalid
+    # Back to per-atom order: gather each sorted atom's slot, then undo sort.
+    hit_sorted = hit_blocks.reshape(-1)[s_slot]
+    mask = jnp.zeros(src.shape[0], dtype=bool).at[s_order].set(hit_sorted)
+    return mask, s_ofl | t_ofl
+
+
+def contact_pairs(
+    coords,
+    src_idx,
+    tgt_idx,
+    cutoff: float,
+    box,
+    inv,
+    corrections=None,
+    dims: tuple[int, int, int] = (1, 1, 1),
+    cap: int = 32,
+    max_pairs: int = 1 << 16,
+    pbc=(True, True, True),
+):
+    """Fixed-capacity contact list between two selections (one frame).
+
+    Returns (pairs (max_pairs, 2) int32 global indices padded with -1,
+    distances (max_pairs,), count, overflow). Pair order is
+    implementation-defined; sort before comparing across implementations.
+    """
+    nb_ids, _, overflow, step, (sx, sy, sz), (tx, ty, tz) = _search_core(
+        coords, src_idx, tgt_idx, cutoff, box, inv, corrections, dims, cap, pbc
+    )
+    n = src_idx.shape[0]
+
+    def body(o, acc):
+        hit_acc, mem_acc = acc
+        cells = jax.lax.dynamic_index_in_dim(nb_ids, o, axis=1, keepdims=False)
+        members, h = step(cells)
+        return (
+            jax.lax.dynamic_update_index_in_dim(hit_acc, h, o, axis=1),
+            jax.lax.dynamic_update_index_in_dim(mem_acc, members, o, axis=1),
+        )
+
+    hit, mem = jax.lax.fori_loop(
+        0,
+        27,
+        body,
+        (
+            jnp.zeros((n, 27, cap), dtype=bool),
+            jnp.full((n, 27, cap), -1, dtype=jnp.int32),
+        ),
+    )
+    count = jnp.sum(hit)
+    flat_hit = hit.reshape(-1)
+    (pos,) = jnp.nonzero(flat_hit, size=max_pairs, fill_value=-1)
+    ok = pos >= 0
+    safe = jnp.maximum(pos, 0)
+    cap_total = 27 * cap
+    si = safe // cap_total
+    mj = mem.reshape(-1)[safe]
+    gi = src_idx[si]
+    gj = tgt_idx[mj]
+    dx = tx[mj] - sx[si]
+    dy = ty[mj] - sy[si]
+    dz = tz[mj] - sz[si]
+    d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
+    dist = jnp.sqrt(d2)
+    pairs = jnp.where(
+        ok[:, None], jnp.stack([gi, gj], axis=1), jnp.int32(-1)
+    ).astype(jnp.int32)
+    dist = jnp.where(ok, dist, 0.0)
+    return pairs, dist, count, overflow | (count > max_pairs)

@@ -1,0 +1,370 @@
+"""Trajectory analysis driver: streaming, windowing, prefetch, CLI.
+
+The reference's per-frame loop (molar/src/analysis_task.rs:124-280: clap args,
+-b/-e suffixes, multi-trajectory concatenation, --skip decimation, background
+reader thread + bounded channel) becomes, on TPU:
+
+    host decode threads -> window (B, N, 3) numpy -> device_put (async)
+        -> ONE jitted vmapped program per window -> host accumulate
+
+Two execution styles are offered:
+
+* :class:`AnalysisTask` — reference-compatible per-frame hooks
+  (``process_frame`` sees a ``System`` with the frame swapped in); good for
+  porting reference-style analyses, runs host-side.
+* window hooks (``process_window``) — the TPU-native path: the hook receives
+  the batched device arrays and returns per-frame results; the driver overlaps
+  the next window's decode + H2D with the current window's compute.
+
+-b/-e suffix grammar (analysis_task.rs:82-110): bare number = frame index,
+``fr`` = frames, ``ps``/``ns``/``us`` = time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import queue
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..config import FLOAT
+from ..core.pbc import PeriodicBox, PeriodicBoxError
+from ..core.state import State
+from ..core.system import System
+from ..io import FileHandler
+
+log = logging.getLogger("molar_tpu.analysis")
+
+
+class AnalysisError(RuntimeError):
+    pass
+
+
+@dataclass
+class FrameSpec:
+    """Parsed -b/-e value: frame index, frame count, or time (ps)."""
+
+    frame: Optional[int] = None
+    time: Optional[float] = None
+
+    @staticmethod
+    def parse(text: Optional[str]) -> "FrameSpec":
+        if text is None:
+            return FrameSpec()
+        s = text.strip()
+        if s.endswith("fr"):
+            return FrameSpec(frame=int(s[:-2]))
+        for suffix, mult in (("ps", 1.0), ("ns", 1e3), ("us", 1e6)):
+            if s.endswith(suffix):
+                return FrameSpec(time=float(s[: -len(suffix)]) * mult)
+        # bare value = frame number (analysis_task.rs:82-110)
+        return FrameSpec(frame=int(s))
+
+
+def build_arg_parser(description: str = "trajectory analysis") -> argparse.ArgumentParser:
+    """The reference TrajAnalysisArgs flag set (-f/-b/-e/--skip/--log)."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument(
+        "-f",
+        "--files",
+        nargs="+",
+        required=True,
+        help="structure file followed by trajectory file(s)",
+    )
+    p.add_argument("-b", "--begin", default=None, help="first frame (N, Nfr, Nps, Nns, Nus)")
+    p.add_argument("-e", "--end", default=None, help="last frame (same suffixes)")
+    p.add_argument("--skip", type=int, default=1, help="take every skip-th frame")
+    p.add_argument("--log", type=int, default=100, dest="log_every", help="progress period")
+    p.add_argument("--window", type=int, default=64, help="frames per device window")
+    return p
+
+
+class TrajectoryReader:
+    """Concatenated multi-trajectory frame stream with window + skip logic.
+
+    Frames are numbered globally across files (analysis_task.rs:184-234);
+    ``skip`` phase carries across file boundaries.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        begin: FrameSpec = FrameSpec(),
+        end: FrameSpec = FrameSpec(),
+        skip: int = 1,
+    ):
+        self.paths = list(paths)
+        self.begin = begin
+        self.end = end
+        self.skip = max(skip, 1)
+
+    def _want(self, global_frame: int, t: float) -> bool:
+        if self.begin.frame is not None and global_frame < self.begin.frame:
+            return False
+        if self.begin.time is not None and t < self.begin.time:
+            return False
+        return True
+
+    def _past_end(self, global_frame: int, t: float) -> bool:
+        if self.end.frame is not None and global_frame > self.end.frame:
+            return True
+        if self.end.time is not None and t > self.end.time:
+            return True
+        return False
+
+    def iter_states(self):
+        """Yield (global_frame_index, State). ``skip`` decimates the frames
+        inside the begin/end window, with its phase carried across file
+        boundaries (analysis_task.rs:205-234)."""
+        fr = -1
+        in_window = 0
+        for path in self.paths:
+            with FileHandler(path) as fh:
+                for st in fh.iter_states():
+                    fr += 1
+                    if self._past_end(fr, st.time):
+                        return
+                    if not self._want(fr, st.time):
+                        continue
+                    if in_window % self.skip == 0:
+                        yield fr, st
+                    in_window += 1
+
+    def iter_windows(self, window: int, n_threads: Optional[int] = None):
+        """Yield (coords (B,N,3), boxes (B,3,3), invs, times, frame_ids).
+
+        Uses each handler's parallel window decode when available (XTC),
+        falling back to serial state reads; applies begin/end/skip on the
+        frame index level.
+        """
+        from ..io.xtc import XtcHandler
+
+        fr_base = 0
+        for path in self.paths:
+            fh = FileHandler(path)
+            h = fh.handler
+            if isinstance(h, XtcHandler):
+                n = h.n_frames
+                ids = np.arange(fr_base, fr_base + n)
+                times = h.times
+                keep = np.ones(n, dtype=bool)
+                if self.begin.frame is not None:
+                    keep &= ids >= self.begin.frame
+                if self.begin.time is not None:
+                    keep &= times >= self.begin.time
+                if self.end.frame is not None:
+                    keep &= ids <= self.end.frame
+                if self.end.time is not None:
+                    keep &= times <= self.end.time
+                kept = np.nonzero(keep)[0]
+                kept = kept[:: self.skip]
+                if len(kept) == 0:
+                    fr_base += n
+                    fh.close()
+                    continue
+                for s in range(0, len(kept), window):
+                    chunk = kept[s : s + window]
+                    if np.array_equal(chunk, np.arange(chunk[0], chunk[0] + len(chunk))):
+                        coords, boxes, times_w = h.read_frames(
+                            int(chunk[0]), len(chunk), n_threads
+                        )
+                    else:
+                        # decimated: decode frame-by-frame (still random access)
+                        coords = np.empty((len(chunk), h.n_atoms, 3), np.float32)
+                        boxes = np.empty((len(chunk), 3, 3), np.float32)
+                        times_w = np.empty(len(chunk), np.float32)
+                        for k, fi in enumerate(chunk):
+                            st = h.read_frame(int(fi))
+                            coords[k] = st.coords
+                            boxes[k] = (
+                                st.box.matrix if st.box is not None else np.eye(3)
+                            )
+                            times_w[k] = st.time
+                    yield coords, boxes, _invert_boxes(boxes), times_w, ids[chunk]
+                fr_base += n
+                fh.close()
+            else:
+                buf_c, buf_b, buf_t, buf_i = [], [], [], []
+                fr = fr_base - 1
+                consumed = 0
+                for st in fh.iter_states():
+                    fr += 1
+                    if self._past_end(fr, st.time):
+                        break
+                    if not self._want(fr, st.time):
+                        continue
+                    if consumed % self.skip:
+                        consumed += 1
+                        continue
+                    consumed += 1
+                    buf_c.append(st.coords.astype(np.float32))
+                    buf_b.append(
+                        st.box.matrix if st.box is not None else np.eye(3, dtype=np.float32)
+                    )
+                    buf_t.append(st.time)
+                    buf_i.append(fr)
+                    if len(buf_c) == window:
+                        boxes = np.stack(buf_b)
+                        yield (
+                            np.stack(buf_c),
+                            boxes,
+                            _invert_boxes(boxes),
+                            np.asarray(buf_t, np.float32),
+                            np.asarray(buf_i),
+                        )
+                        buf_c, buf_b, buf_t, buf_i = [], [], [], []
+                fr_base = fr + 1
+                if buf_c:
+                    boxes = np.stack(buf_b)
+                    yield (
+                        np.stack(buf_c),
+                        boxes,
+                        _invert_boxes(boxes),
+                        np.asarray(buf_t, np.float32),
+                        np.asarray(buf_i),
+                    )
+                fh.close()
+
+
+def _invert_boxes(boxes: np.ndarray) -> np.ndarray:
+    return np.linalg.inv(boxes.astype(np.float64)).astype(np.float32)
+
+
+class WindowPipeline:
+    """Double-buffered window pump: decode thread + H2D + device compute.
+
+    ``window_fn(coords, boxes, invs, times) -> pytree of per-frame results``
+    is called once per window; decode of window k+1 overlaps compute of k
+    (the TPU-era replacement of the reference's IoStateIterator reader thread
+    + sync_channel(10), io.rs:198-271).
+    """
+
+    def __init__(
+        self,
+        reader: TrajectoryReader,
+        window: int,
+        window_fn: Callable,
+        device_put: bool = True,
+        queue_depth: int = 2,
+        n_threads: Optional[int] = None,
+    ):
+        self.reader = reader
+        self.window = window
+        self.window_fn = window_fn
+        self.device_put = device_put
+        self.queue_depth = queue_depth
+        self.n_threads = n_threads
+
+    def run(self):
+        """Yield (frame_ids, result_pytree) per window."""
+        import jax
+
+        q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        stop = object()
+
+        def feeder():
+            try:
+                for item in self.reader.iter_windows(self.window, self.n_threads):
+                    coords, boxes, invs, times, ids = item
+                    if self.device_put:
+                        dev = (
+                            jax.device_put(coords),
+                            jax.device_put(boxes),
+                            jax.device_put(invs),
+                            jax.device_put(times),
+                        )
+                    else:
+                        dev = (coords, boxes, invs, times)
+                    q.put((dev, ids))
+            except BaseException as e:  # surface decode errors to consumer
+                q.put(e)
+                return
+            q.put(stop)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            (coords, boxes, invs, times), ids = item
+            yield ids, self.window_fn(coords, boxes, invs, times)
+        t.join()
+
+
+@dataclass
+class AnalysisContext:
+    """Mirrors the reference AnalysisContext {sys, consumed_frames, args}
+    (analysis_task.rs:309-313)."""
+
+    system: System
+    consumed_frames: int
+    args: argparse.Namespace
+
+
+class AnalysisTask:
+    """Reference-compatible per-frame analysis harness.
+
+    Subclass and implement ``pre_process`` / ``process_frame`` /
+    ``post_process`` (the Python-binding hook names,
+    molar_python/python/pymolar/__init__.py:26-146). ``run()`` parses the
+    standard flags, streams frames, swaps each into the system, and calls the
+    hooks with progress logging every ``--log`` frames.
+    """
+
+    task_name = "analysis"
+
+    def add_args(self, parser: argparse.ArgumentParser) -> None:
+        pass
+
+    def pre_process(self, ctx: AnalysisContext) -> None:
+        pass
+
+    def process_frame(self, ctx: AnalysisContext) -> None:
+        pass
+
+    def post_process(self, ctx: AnalysisContext) -> None:
+        pass
+
+    def run(self, argv: Optional[Sequence[str]] = None) -> AnalysisContext:
+        parser = build_arg_parser(self.task_name)
+        self.add_args(parser)
+        args = parser.parse_args(argv)
+        if len(args.files) < 1:
+            raise AnalysisError("need a structure file")
+        structure, *trajectories = args.files
+        system = System.from_file(structure)
+        reader = TrajectoryReader(
+            trajectories or [structure],
+            begin=FrameSpec.parse(args.begin),
+            end=FrameSpec.parse(args.end),
+            skip=args.skip,
+        )
+        ctx = AnalysisContext(system=system, consumed_frames=0, args=args)
+        self.pre_process(ctx)
+        t0 = _time.perf_counter()
+        for fr, st in reader.iter_states():
+            if st.n_atoms != system.n_atoms:
+                raise AnalysisError(
+                    f"frame has {st.n_atoms} atoms, system has {system.n_atoms}"
+                )
+            system.set_state(st)
+            self.process_frame(ctx)
+            ctx.consumed_frames += 1
+            if args.log_every and ctx.consumed_frames % args.log_every == 0:
+                el = _time.perf_counter() - t0
+                log.info(
+                    "frame %d (t=%.1f ps), %.1f frames/s",
+                    fr,
+                    st.time,
+                    ctx.consumed_frames / el,
+                )
+        self.post_process(ctx)
+        return ctx
