@@ -59,6 +59,11 @@ class Atom:
         z = pt.guess_element_from_name(self.name, self.resname)
         return replace(self, atomic_number=z, mass=pt.mass_of(z))
 
+    def guess_element(self) -> "Atom":
+        """Guess only Z, keeping an existing (file-provided) mass."""
+        z = pt.guess_element_from_name(self.name, self.resname)
+        return replace(self, atomic_number=z)
+
     @property
     def vdw(self) -> float:
         return pt.vdw_radius(self.atomic_number)

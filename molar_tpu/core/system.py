@@ -468,6 +468,49 @@ class Sel:
             self.state.coords[self.indices]
         )
 
+    def unwrap_connectivity(
+        self, cutoff: float = 0.2, pbc: PbcDims = PBC_FULL
+    ) -> list["Sel"]:
+        """Unwrap via BFS flood fill over distance-search connectivity within
+        ``cutoff``: each newly-reached atom moves to the closest image of the
+        atom it was discovered from; every connected piece is returned as a
+        Sel (modify.rs unwrap_connectivity + connectivity.rs)."""
+        from collections import deque
+
+        from ..ops import neighbor_host
+
+        box = self.state.require_box()
+        n = len(self)
+        local = np.arange(n)
+        pairs, _ = neighbor_host.search_pairs(
+            cutoff, self.state.coords[self.indices], local, None, box, pbc
+        )
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        coords = self.state.coords[self.indices].copy()
+        used = np.zeros(n, dtype=bool)
+        pieces: list[Sel] = []
+        for start in range(n):
+            if used[start]:
+                continue
+            used[start] = True
+            piece = [start]
+            todo = deque([start])
+            while todo:
+                c = todo.popleft()
+                p0 = coords[c]
+                for nb in adj[c]:
+                    if not used[nb]:
+                        used[nb] = True
+                        coords[nb] = p0 + box.shortest_vector(coords[nb] - p0, pbc)
+                        piece.append(nb)
+                        todo.append(nb)
+            pieces.append(Sel(self.system, self.indices[np.sort(piece)]))
+        self.state.coords[self.indices] = coords
+        return pieces
+
     # -- distance search ----------------------------------------------------------
 
     def within_of(self, cutoff: float, other: "Sel", pbc: PbcDims = PBC_NONE) -> "Sel":
