@@ -511,6 +511,31 @@ class Sel:
         self.state.coords[self.indices] = coords
         return pieces
 
+    # -- secondary structure -------------------------------------------------------
+
+    def dssp(self, flavor: str = "gmx") -> str:
+        """Per-residue DSSP string (flavor 'gmx' reproduces `gmx dssp`,
+        'vanilla' canonical Kabsch-Sander; measure.rs ss entry points)."""
+        from ..ops.dssp import compute_dssp
+
+        return compute_dssp(self, flavor=flavor).ss_string()
+
+    def dss(self) -> str:
+        """Per-residue PyMOL-style 3-state string (H/E/~)."""
+        from ..ops.dss import compute_dss
+
+        return compute_dss(self).ss_string()
+
+    def ss_compute(self, algorithm: str = "dssp") -> str:
+        """Unified SS entry point: 'dssp' | 'dssp_gmx' | 'dss'."""
+        if algorithm == "dssp":
+            return self.dssp("vanilla")
+        if algorithm == "dssp_gmx":
+            return self.dssp("gmx")
+        if algorithm == "dss":
+            return self.dss()
+        raise ValueError(f"unknown ss algorithm {algorithm!r}")
+
     # -- distance search ----------------------------------------------------------
 
     def within_of(self, cutoff: float, other: "Sel", pbc: PbcDims = PBC_NONE) -> "Sel":
