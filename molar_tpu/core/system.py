@@ -511,6 +511,21 @@ class Sel:
         self.state.coords[self.indices] = coords
         return pieces
 
+    # -- sasa ------------------------------------------------------------------------
+
+    def sasa(self, probe: float = 0.14, with_volume: bool = False, n_slices: int = 64):
+        """Solvent-accessible surface areas (exact Lee-Richards host path;
+        reference: sasa.rs / Measure::sasa). Returns a Sasa result object."""
+        from ..ops.sasa_host import Sasa as _Sasa
+
+        return _Sasa(
+            self.state.coords[self.indices],
+            self.topology.vdw()[self.indices],
+            probe=probe,
+            with_volume=with_volume,
+            n_slices=n_slices,
+        )
+
     # -- secondary structure -------------------------------------------------------
 
     def dssp(self, flavor: str = "gmx") -> str:
