@@ -76,6 +76,18 @@ def main() -> int:
         args.atoms, args.protein, args.frames, args.window = 5000, 500, 32, 8
 
     import jax
+
+    # Persistent compilation cache: the window program compiles in minutes on
+    # a remote-tunnel backend; cache it across runs.
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "molar_tpu",
+        "jax_cache",
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     import jax.numpy as jnp
 
     from molar_tpu.core.pbc import PBC_FULL, PeriodicBox
@@ -139,13 +151,19 @@ def main() -> int:
     n_done = 0
     rmsds = []
     counts = []
-    overflowed = False
+    ofls = []
+    # Keep results as device arrays and sync ONCE at the end: a per-window
+    # block_until_ready pays a full dispatch round-trip per window (severe
+    # through a remote-tunnel backend), serializing the pipeline.
     for ids, (rmsd, cnt, ofl) in pipeline.run():
-        rmsd = jax.block_until_ready(rmsd)
         n_done += len(ids)
-        rmsds.append(np.asarray(rmsd))
-        counts.append(np.asarray(cnt))
-        overflowed |= bool(np.asarray(ofl).any())
+        rmsds.append(rmsd)
+        counts.append(cnt)
+        ofls.append(ofl)
+    jax.block_until_ready(rmsds[-1])
+    rmsds = [np.asarray(r) for r in rmsds]
+    counts = [np.asarray(c) for c in counts]
+    overflowed = any(bool(np.asarray(o).any()) for o in ofls)
     elapsed = time.perf_counter() - t0
     fps = n_done / elapsed
     print(f"# device loop: {n_done} frames in {elapsed:.2f}s", file=sys.stderr)

@@ -427,6 +427,19 @@ class Sel:
         r, t = self.fit_transform(other)
         self.apply_transform(r, t)
 
+    def fit_transform_matching(self, other: "Sel"):
+        """Fit using only name-matched atoms (global sequence alignment of
+        atom names; measure.rs fit_transform_matching)."""
+        from ..ops import measure_host as M
+        from ..ops.seq_align import matching_atoms_by_name
+
+        mx, my = matching_atoms_by_name(self.names, other.names)
+        if len(mx) == 0:
+            raise SelectionError("no matching atoms between selections")
+        return M.fit_transform(
+            self.coords[mx], other.coords[my], self.masses[mx]
+        )
+
     # -- modify ------------------------------------------------------------------
 
     def translate(self, shift) -> None:
