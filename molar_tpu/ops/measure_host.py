@@ -186,3 +186,101 @@ def fit_transform_at_origin(
 
 def apply_transform(coords: np.ndarray, r: np.ndarray, t: np.ndarray) -> np.ndarray:
     return (coords.astype(np.float64) @ r.T + t).astype(coords.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Lipid tail order parameters (measure.rs:262-422)
+# ---------------------------------------------------------------------------
+
+
+def _angle(a: np.ndarray, b: np.ndarray) -> float:
+    c = float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    return float(np.arccos(np.clip(c, -1.0, 1.0)))
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    return v / np.linalg.norm(v)
+
+
+def lipid_tail_order(
+    order_type: str,
+    coords: np.ndarray,
+    normals: np.ndarray,
+    bond_orders: np.ndarray,
+) -> np.ndarray:
+    """Per-carbon tail order parameters for one lipid tail.
+
+    ``order_type``: 'sz' (GROMACS -szonly), 'scd' (ideal-H deuterium order),
+    'scdcorr' (double-bond-corrected H). ``coords``: (N,3) tail carbons in
+    chain order; ``normals``: (1,3) global or (N-2,3) per-bond; ``bond_orders``
+    (N-1,) of 1/2. Output: (N-2,) order values for carbons 1..N-2.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    normals = np.asarray(normals, dtype=np.float64).reshape(-1, 3)
+    n = len(coords)
+    if n < 3:
+        raise MeasureError(f"lipid tail too short: {n} atoms")
+    if len(normals) not in (1, n - 2):
+        raise MeasureError(f"need 1 or {n - 2} normals, got {len(normals)}")
+    if len(bond_orders) != n - 1:
+        raise MeasureError(f"need {n - 1} bond orders, got {len(bond_orders)}")
+
+    def nrm(k: int) -> np.ndarray:
+        return normals[0] if len(normals) == 1 else normals[k]
+
+    order = np.zeros(n - 2)
+    if order_type == "sz":
+        for at in range(1, n - 1):
+            v = coords[at + 1] - coords[at - 1]
+            ang = _angle(v, nrm(at - 1))
+            order[at - 1] = 1.5 * np.cos(ang) ** 2 - 0.5
+        return order
+
+    if order_type not in ("scd", "scdcorr"):
+        raise MeasureError(f"unknown order type {order_type!r}")
+    corr = order_type == "scdcorr"
+    for i in range(n - 2):
+        if bond_orders[i] == 1:
+            if bond_orders[i + 1] == 1:
+                p1, p2, p3 = coords[i], coords[i + 1], coords[i + 2]
+                local_z = _unit(p3 - p1)
+                local_x = _unit(np.cross(p1 - p2, p3 - p2))
+                local_y = np.cross(local_x, local_z)
+                nv = nrm(i)
+                sxx = 0.5 * (3 * np.cos(_angle(local_x, nv)) ** 2 - 1)
+                syy = 0.5 * (3 * np.cos(_angle(local_y, nv)) ** 2 - 1)
+                order[i] = -(2 * sxx + syy) / 3.0
+        else:
+            p1, p2, p3, p4 = coords[i - 1], coords[i], coords[i + 1], coords[i + 2]
+            a1 = 0.5 * (np.pi - _angle(p1 - p2, p3 - p2))
+            a2 = 0.5 * (np.pi - _angle(p2 - p3, p4 - p3))
+            local_z = _unit(p3 - p2)
+            local_x = _unit(np.cross(p1 - p2, local_z))
+            local_y = np.cross(local_x, local_z)
+            n1 = nrm(i)
+            szz = 0.5 * (3 * np.cos(_angle(local_z, n1)) ** 2 - 1)
+            syy = 0.5 * (3 * np.cos(_angle(local_y, n1)) ** 2 - 1)
+            syz = 1.5 * np.cos(_angle(local_y, n1)) * np.cos(_angle(local_z, n1))
+            if corr:
+                order[i - 1] = -(
+                    np.cos(a1) ** 2 * syy
+                    + np.sin(a1) ** 2 * szz
+                    - 2 * np.cos(a1) * np.sin(a1) * syz
+                )
+            else:
+                order[i - 1] = -(szz / 4 + 3 * syy / 4 - np.sqrt(3.0) * syz / 2)
+            local_x = _unit(np.cross(p3 - p4, local_z))
+            local_y = np.cross(local_x, local_z)
+            n2 = nrm(i + 1)
+            szz = 0.5 * (3 * np.cos(_angle(local_z, n2)) ** 2 - 1)
+            syy = 0.5 * (3 * np.cos(_angle(local_y, n2)) ** 2 - 1)
+            syz = 1.5 * np.cos(_angle(local_y, n2)) * np.cos(_angle(local_z, n2))
+            if corr:
+                order[i] = -(
+                    np.cos(a2) ** 2 * syy
+                    + np.sin(a2) ** 2 * szz
+                    + 2 * np.cos(a2) * np.sin(a2) * syz
+                )
+            else:
+                order[i] = -(szz / 4 + 3 * syy / 4 + np.sqrt(3.0) * syz / 2)
+    return order
