@@ -124,7 +124,8 @@ def main() -> int:
 
     @jax.jit
     def window_fn(coords, boxes, invs, times):
-        def per_frame(c, b, i):
+        def per_frame(carry, frame):
+            c, b, i = frame
             # Per-component gather: a (n,3) row gather costs ~2 min of XLA
             # compile on TPU; three 1-D gathers compile in <1 s.
             sel = jnp.stack(
@@ -135,9 +136,14 @@ def main() -> int:
                 c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
                 dims=dims, cap=cap, tgt_cap=tcap, max_tgt_cells=1024,
             )
-            return rmsd, jnp.sum(mask), overflow
+            return carry, (rmsd, jnp.sum(mask), overflow)
 
-        return jax.vmap(per_frame)(coords, boxes, invs)
+        # lax.scan over the window: one compiled frame body instead of a
+        # B-wide vmapped graph (which took >10 min of XLA compile at B=32;
+        # the per-frame kernel already saturates the chip, so sequential
+        # frames lose no throughput).
+        _, (rmsd, cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
+        return rmsd, cnt, ofl
 
     reader = TrajectoryReader([xtc_path])
     pipeline = WindowPipeline(reader, args.window, window_fn)

@@ -272,12 +272,10 @@ class WindowPipeline:
                 for item in self.reader.iter_windows(self.window, self.n_threads):
                     coords, boxes, invs, times, ids = item
                     if self.device_put:
-                        dev = (
-                            jax.device_put(coords),
-                            jax.device_put(boxes),
-                            jax.device_put(invs),
-                            jax.device_put(times),
-                        )
+                        # One device_put for the whole window: each call can
+                        # cost a dispatch round-trip (severe on remote-tunnel
+                        # backends), so ship the tuple in a single transfer.
+                        dev = jax.device_put((coords, boxes, invs, times))
                     else:
                         dev = (coords, boxes, invs, times)
                     q.put((dev, ids))

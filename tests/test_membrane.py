@@ -1,0 +1,107 @@
+"""Membrane analysis pipeline test on a synthetic flat bilayer."""
+
+import numpy as np
+import pytest
+
+from molar_tpu import PeriodicBox, System
+from molar_tpu.core import Atom, State, Topology
+from molar_tpu.membrane import Membrane
+
+TOML = """
+sel = "all"
+cutoff = 2.0
+max_smooth_iter = 1
+order_type = "scdcorr"
+output_dir = "{out}"
+groups = ["upper", "lower"]
+
+[lipids.LIP]
+whole = "resname LIP"
+head = "name P"
+mid = "name G"
+tails = ["C1-C2-C3-C4"]
+"""
+
+
+def make_bilayer(nx=6, ny=6, spacing=0.8, z_mid=3.0):
+    """Flat bilayer of 6-bead lipids (P-G-C1..C4) on a square lattice."""
+    atoms = []
+    coords = []
+    rid = 0
+    rng = np.random.default_rng(0)
+    for leaf, sign in (("up", 1.0), ("dn", -1.0)):
+        for i in range(nx):
+            for j in range(ny):
+                rid += 1
+                x = (i + 0.5) * spacing + rng.normal(0, 0.01)
+                y = (j + 0.5) * spacing + rng.normal(0, 0.01)
+                beads = [
+                    ("P", 1.6),
+                    ("G", 1.2),
+                    ("C1", 0.9),
+                    ("C2", 0.6),
+                    ("C3", 0.3),
+                    ("C4", 0.05),
+                ]
+                for name, h in beads:
+                    atoms.append(
+                        Atom(name=name, resname="LIP", resid=rid, mass=14.0)
+                    )
+                    coords.append([x, y, z_mid + sign * h])
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    side = nx * spacing
+    st = State(
+        coords=np.asarray(coords, np.float32),
+        box=PeriodicBox(np.diag([side, side, 8.0])),
+    )
+    return System(top, st)
+
+
+def test_flat_bilayer_pipeline(tmp_path):
+    sys = make_bilayer()
+    memb = Membrane(sys, TOML.format(out=tmp_path))
+    n_per_leaf = 36
+    assert len(memb.lipids) == 2 * n_per_leaf
+
+    # split leaflets by head z
+    for lip in memb.lipids:
+        lip.update_markers(sys)
+    upper = [l.id for l in memb.lipids if l.head_marker[2] > 3.0]
+    lower = [l.id for l in memb.lipids if l.head_marker[2] <= 3.0]
+    assert len(upper) == len(lower) == n_per_leaf
+    memb.add_ids_to_group("upper", upper)
+    memb.add_ids_to_group("lower", lower)
+
+    memb.compute()
+
+    valid = [l for l in memb.lipids if l.valid]
+    assert len(valid) > n_per_leaf  # most lipids valid
+
+    for lip in valid:
+        # Normals on a flat bilayer are +-z.
+        assert abs(abs(lip.normal[2]) / np.linalg.norm(lip.normal)) > 0.95, lip.normal
+        # Curvature ~ 0.
+        assert abs(lip.mean_curv) < 0.2
+        assert abs(lip.gaussian_curv) < 0.2
+        # Area ~ lattice cell (0.64 nm^2).
+        assert 0.3 < lip.area < 1.2
+        # Order computed for the single tail: perfect straight tail -> |order| bounded
+        assert lip.order[0].shape == (2,)
+
+    memb.finalize()
+    assert (tmp_path / "stats_upper.dat").exists()
+    assert (tmp_path / "order_upper_LIP.dat").exists()
+    text = (tmp_path / "stats_upper.dat").read_text()
+    assert "LIP" in text
+
+
+def test_group_api(tmp_path):
+    sys = make_bilayer(4, 4)
+    memb = Membrane(sys, TOML.format(out=tmp_path))
+    with pytest.raises(Exception):
+        memb.add_ids_to_group("nope", [0])
+    memb.add_ids_to_group("upper", [0, 1])
+    assert memb.groups["upper"].lipid_ids == [0, 1]
+    memb.reset_groups()
+    assert memb.groups["upper"].lipid_ids == []
