@@ -134,7 +134,7 @@ def main() -> int:
             rmsd, _, _ = measure.fit_rmsd(sel, ref_j, pm_j)
             mask, overflow = neighbor.within_mask(
                 c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
-                dims=dims, cap=cap, tgt_cap=tcap,
+                dims=dims, cap=cap, tgt_cap=tcap, max_tgt_cells=1024,
             )
             return carry, (rmsd, jnp.sum(mask), overflow)
 

@@ -94,9 +94,16 @@ def _lazy_register_binary_formats() -> None:
     except ImportError:
         pass
     try:
-        from .tng_netcdf import NetcdfHandler
+        from .netcdf_amber import NetcdfHandler
 
         register_format("nc|ncdf", NetcdfHandler)
+    except ImportError:
+        pass
+    try:
+        from .tpr import CptHandler, TprHandler
+
+        register_format("tpr", TprHandler)
+        register_format("cpt", CptHandler)
     except ImportError:
         pass
 
