@@ -216,6 +216,44 @@ def cmd_tip3to4(args) -> int:
     return 0
 
 
+def cmd_membrane(args) -> int:
+    from .core.system import System
+    from .membrane import Membrane
+    from .tasks.trajectory import FrameSpec, TrajectoryReader
+
+    sys_ = System.from_file(args.files[0])
+    memb = Membrane(sys_, open(args.params).read())
+    # Leaflet auto-split when groups 'upper'/'lower' are configured.
+    for lip in memb.lipids:
+        lip.update_markers(sys_)
+    if "upper" in memb.groups and "lower" in memb.groups:
+        z0 = float(np.median([l.head_marker[2] for l in memb.lipids]))
+        memb.add_ids_to_group(
+            "upper", [l.id for l in memb.lipids if l.head_marker[2] > z0]
+        )
+        memb.add_ids_to_group(
+            "lower", [l.id for l in memb.lipids if l.head_marker[2] <= z0]
+        )
+    reader = TrajectoryReader(
+        args.files[1:] or args.files,
+        begin=FrameSpec.parse(args.begin),
+        end=FrameSpec.parse(args.end),
+        skip=args.skip,
+    )
+    n = 0
+    for fr, st in reader.iter_states():
+        sys_.set_state(st)
+        memb.compute()
+        n += 1
+        if args.log_every and n % args.log_every == 0:
+            log.info("frame %d done", fr)
+    memb.finalize()
+    if args.vmd:
+        memb.write_vmd_visualization(args.vmd)
+    print(f"membrane analysis over {n} frames -> {memb.options.output_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=os.environ.get("MOLAR_LOG", "INFO"))
     parser = argparse.ArgumentParser(prog="molar", description=__doc__)
@@ -243,6 +281,16 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
 
+    p = sub.add_parser("membrane", help="lipid membrane analysis (TOML-configured)")
+    p.add_argument("-f", "--files", nargs="+", required=True,
+                   help="structure file then trajectory file(s)")
+    p.add_argument("-p", "--params", required=True, help="TOML options file")
+    p.add_argument("-b", "--begin", default=None)
+    p.add_argument("-e", "--end", default=None)
+    p.add_argument("--skip", type=int, default=1)
+    p.add_argument("--log", type=int, default=100, dest="log_every")
+    p.add_argument("--vmd", default=None, help="write VMD TCL visualization")
+
     args = parser.parse_args(argv)
     handlers = {
         "info": cmd_info,
@@ -250,6 +298,7 @@ def main(argv=None) -> int:
         "rearrange": cmd_rearrange,
         "solvate": cmd_solvate,
         "tip3to4": cmd_tip3to4,
+        "membrane": cmd_membrane,
     }
     if args.command is None:
         parser.print_help()

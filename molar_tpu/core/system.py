@@ -203,6 +203,51 @@ class System:
         with FileHandler(path, "w") as fh:
             fh.write(self.topology, self.state)
 
+    def perceive(self):
+        """Ring/aromaticity perception, annotating the topology in place
+        (reference System::perceive / perception.rs)."""
+        from ..ops.perception import perceive as _perceive
+
+        return _perceive(self.topology)
+
+    def apply_ff(self, ff: str = "gaff") -> list[str]:
+        """GAFF/GAFF2 typing over the whole system (writes type_name)."""
+        from ..ff import apply_ff as _apply
+
+        return _apply(self, ff)
+
+    def apply_charges(self) -> np.ndarray:
+        """espaloma partial charges over the whole system (writes charge)."""
+        from ..ff.espaloma import apply_charges as _charges
+
+        return _charges(self)
+
+
+def distance_search(
+    cutoff,
+    sel1: "Sel",
+    sel2: Optional["Sel"] = None,
+    pbc: PbcDims = PBC_NONE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Free-function pair search (reference pymolar.distance_search,
+    molar_python/src/lib.rs:239-376): float cutoff or the string 'vdw'
+    (per-pair vdw_i+vdw_j), one selection (self pairs) or two; returns
+    ((K,2) global index pairs, (K,) distances)."""
+    from ..ops import neighbor_host
+
+    st = sel1.state
+    box = st.box if pbc.any else None
+    vdw = None
+    if isinstance(cutoff, str):
+        if cutoff != "vdw":
+            raise SelectionError(f"cutoff must be a float or 'vdw', got {cutoff!r}")
+        vdw = sel1.topology.vdw()
+        cutoff = float(2 * vdw.max() + 1e-6)
+    idx2 = None if sel2 is None else sel2.indices
+    return neighbor_host.search_pairs(
+        float(cutoff), st.coords, sel1.indices, idx2, box, pbc, vdw=vdw
+    )
+
 
 class Sel:
     """A bound, sorted, non-empty selection over a system."""

@@ -441,6 +441,26 @@ class Membrane:
         for gr in self.groups.values():
             gr.save(self.options.output_dir)
 
+    def write_vmd_visualization(self, path: str) -> None:
+        """TCL graphics: markers, tail-head vectors, fitted normals, Voronoi
+        cells (reference lib.rs write_vmd_visualization)."""
+        from .vmd_visual import VmdVisual
+
+        vis = VmdVisual()
+        for lip in self._valid():
+            vis.sphere(lip.head_marker, 0.8, "white")
+            vis.arrow(lip.head_marker, lip.tail_head_vec, "yellow")
+            vis.sphere(lip.head_marker, 0.8, "red")
+            vis.arrow(lip.head_marker, lip.normal, "orange")
+            n = len(lip.voro_vertexes)
+            for i in range(n):
+                vis.cylinder(
+                    lip.voro_vertexes[i], lip.voro_vertexes[(i + 1) % n], "green"
+                )
+            for p in lip.fitted_patch_points:
+                vis.sphere(p, 0.3, "green")
+        vis.save(path)
+
     # -- internals ------------------------------------------------------------
 
     def _valid(self):

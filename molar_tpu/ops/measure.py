@@ -43,6 +43,33 @@ __all__ = [
 _HI = jax.lax.Precision.HIGHEST
 
 
+def inv3x3(m):
+    """Closed-form (adjugate) 3x3 inverse, batched over leading dims —
+    lets pipelines ship only box matrices and invert on device."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def min_image(vec, boxes, invs, corrections=None, pbc=(True, True, True)):
     """Batched minimum-image: ``vec`` (..., 3), ``boxes``/``invs`` broadcastable
     (..., 3, 3) against vec's batch dims; ``corrections`` (..., K, 3) or None.

@@ -81,6 +81,13 @@ def build_arg_parser(description: str = "trajectory analysis") -> argparse.Argum
     p.add_argument("--skip", type=int, default=1, help="take every skip-th frame")
     p.add_argument("--log", type=int, default=100, dest="log_every", help="progress period")
     p.add_argument("--window", type=int, default=64, help="frames per device window")
+    p.add_argument(
+        "--add-time",
+        action="store_true",
+        dest="add_time",
+        help="offset times so they keep increasing across concatenated "
+        "trajectories (pymolar AnalysisTask parity)",
+    )
     return p
 
 
@@ -135,12 +142,15 @@ class TrajectoryReader:
                         yield fr, st
                     in_window += 1
 
-    def iter_windows(self, window: int, n_threads: Optional[int] = None):
+    def iter_windows(
+        self, window: int, n_threads: Optional[int] = None, invert_boxes: bool = True
+    ):
         """Yield (coords (B,N,3), boxes (B,3,3), invs, times, frame_ids).
 
         Uses each handler's parallel window decode when available (XTC),
         falling back to serial state reads; applies begin/end/skip on the
-        frame index level.
+        frame index level. ``invert_boxes=False`` skips the host-side box
+        inversion (yielding None) for consumers that invert on device.
         """
         from ..io.xtc import XtcHandler
 
@@ -185,7 +195,7 @@ class TrajectoryReader:
                                 st.box.matrix if st.box is not None else np.eye(3)
                             )
                             times_w[k] = st.time
-                    yield coords, boxes, _invert_boxes(boxes), times_w, ids[chunk]
+                    yield coords, boxes, _invert_boxes(boxes) if invert_boxes else None, times_w, ids[chunk]
                 fr_base += n
                 fh.close()
             else:
@@ -213,7 +223,7 @@ class TrajectoryReader:
                         yield (
                             np.stack(buf_c),
                             boxes,
-                            _invert_boxes(boxes),
+                            _invert_boxes(boxes) if invert_boxes else None,
                             np.asarray(buf_t, np.float32),
                             np.asarray(buf_i),
                         )
@@ -224,7 +234,7 @@ class TrajectoryReader:
                     yield (
                         np.stack(buf_c),
                         boxes,
-                        _invert_boxes(boxes),
+                        _invert_boxes(boxes) if invert_boxes else None,
                         np.asarray(buf_t, np.float32),
                         np.asarray(buf_i),
                     )
@@ -252,6 +262,7 @@ class WindowPipeline:
         device_put: bool = True,
         queue_depth: int = 2,
         n_threads: Optional[int] = None,
+        invert_boxes: bool = True,
     ):
         self.reader = reader
         self.window = window
@@ -259,6 +270,7 @@ class WindowPipeline:
         self.device_put = device_put
         self.queue_depth = queue_depth
         self.n_threads = n_threads
+        self.invert_boxes = invert_boxes
 
     def run(self):
         """Yield (frame_ids, result_pytree) per window."""
@@ -269,7 +281,7 @@ class WindowPipeline:
 
         def feeder():
             try:
-                for item in self.reader.iter_windows(self.window, self.n_threads):
+                for item in self.reader.iter_windows(self.window, self.n_threads, self.invert_boxes):
                     coords, boxes, invs, times, ids = item
                     if self.device_put:
                         # One device_put for the whole window: each call can
@@ -348,7 +360,14 @@ class AnalysisTask:
         ctx = AnalysisContext(system=system, consumed_frames=0, args=args)
         self.pre_process(ctx)
         t0 = _time.perf_counter()
+        time_offset = 0.0
+        last_time = None
         for fr, st in reader.iter_states():
+            if getattr(args, "add_time", False):
+                if last_time is not None and st.time + time_offset <= last_time:
+                    time_offset = last_time  # new file restarted its clock
+                st.time += time_offset
+                last_time = st.time
             if st.n_atoms != system.n_atoms:
                 raise AnalysisError(
                     f"frame has {st.n_atoms} atoms, system has {system.n_atoms}"
