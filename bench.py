@@ -124,9 +124,6 @@ def main() -> int:
 
     @jax.jit
     def window_fn(coords, boxes, invs, times):
-        del invs  # inverted on device (pipeline runs with invert_boxes=False)
-        invs = measure.inv3x3(boxes)
-
         def per_frame(carry, frame):
             c, b, i = frame
             # Per-component gather: a (n,3) row gather costs ~2 min of XLA
@@ -149,13 +146,11 @@ def main() -> int:
         return rmsd, cnt, ofl
 
     reader = TrajectoryReader([xtc_path])
-    pipeline = WindowPipeline(reader, args.window, window_fn, invert_boxes=False)
+    pipeline = WindowPipeline(reader, args.window, window_fn)
 
     # Warmup: compile on the first window shape.
-    first = next(iter(reader.iter_windows(args.window, invert_boxes=False)))
-    _ = jax.block_until_ready(
-        window_fn(jnp.asarray(first[0]), jnp.asarray(first[1]), None, jnp.asarray(first[3]))
-    )
+    first = next(iter(reader.iter_windows(args.window)))
+    _ = jax.block_until_ready(window_fn(*(jnp.asarray(x) for x in first[:4])))
     print("# compiled", file=sys.stderr)
 
     t0 = time.perf_counter()

@@ -319,6 +319,63 @@ class AnalysisContext:
     args: argparse.Namespace
 
 
+class WindowAnalysisTask:
+    """TPU-native batched analysis harness.
+
+    Subclass and implement:
+
+    * ``build(system) -> window_fn`` — return the jitted function
+      ``(coords, boxes, invs, times) -> pytree of per-frame results``;
+    * ``accumulate(frame_ids, results)`` — host-side consumption per window;
+    * optional ``post_process()``.
+
+    ``run()`` parses the standard flags and drives the double-buffered
+    window pipeline. This is the idiomatic form of the reference's
+    AnalysisTask on TPU: one fused XLA program per frame window.
+    """
+
+    task_name = "window analysis"
+
+    def add_args(self, parser: argparse.ArgumentParser) -> None:
+        pass
+
+    def build(self, system: System):
+        raise NotImplementedError
+
+    def accumulate(self, frame_ids, results) -> None:
+        raise NotImplementedError
+
+    def post_process(self) -> None:
+        pass
+
+    def run(self, argv: Optional[Sequence[str]] = None):
+        parser = build_arg_parser(self.task_name)
+        self.add_args(parser)
+        args = parser.parse_args(argv)
+        structure, *trajectories = args.files
+        system = System.from_file(structure)
+        self.args = args
+        window_fn = self.build(system)
+        reader = TrajectoryReader(
+            trajectories or [structure],
+            begin=FrameSpec.parse(args.begin),
+            end=FrameSpec.parse(args.end),
+            skip=args.skip,
+        )
+        pipeline = WindowPipeline(reader, args.window, window_fn)
+        n = 0
+        t0 = _time.perf_counter()
+        for ids, results in pipeline.run():
+            self.accumulate(ids, results)
+            n += len(ids)
+            if args.log_every and n % args.log_every < len(ids):
+                log.info(
+                    "%d frames, %.1f frames/s", n, n / (_time.perf_counter() - t0)
+                )
+        self.post_process()
+        return n
+
+
 class AnalysisTask:
     """Reference-compatible per-frame analysis harness.
 
