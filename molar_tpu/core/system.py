@@ -117,6 +117,18 @@ class System:
     def select_all(self) -> "Sel":
         return Sel(self, np.arange(self.n_atoms, dtype=np.int64))
 
+    def bind(self, sel: "Sel") -> "Sel":
+        """Bind another system's selection (same index set) to this system —
+        the `&sel >> &sys` operator of the reference (system.rs:422-435);
+        one bounds check."""
+        idx = sel.indices
+        if len(idx) and idx[-1] >= self.n_atoms:
+            raise SelectionError(
+                f"selection max index {idx[-1]} out of bounds for system of "
+                f"{self.n_atoms} atoms"
+            )
+        return Sel(self, idx.copy())
+
     # -- editing ----------------------------------------------------------------
 
     def append_atoms(
@@ -388,6 +400,20 @@ class Sel:
             if len(inside):
                 out.append(Sel(self.system, inside))
         return out
+
+    def whole_residues(self) -> "Sel":
+        """Expand to complete residues (the Python-binding semantics of
+        whole_residues; selection.rs:1396-1414 — the global-id variant, not
+        the reference Rust whole_attr local-index quirk, SURVEY §8.11)."""
+        ri = self.topology.resindex
+        present = np.unique(ri[self.indices])
+        return Sel(self.system, np.nonzero(np.isin(ri, present))[0])
+
+    def whole_chains(self) -> "Sel":
+        """Expand to complete chains (global-id variant)."""
+        ch = self.topology.chain
+        present = np.unique(ch[self.indices])
+        return Sel(self.system, np.nonzero(np.isin(ch, present))[0])
 
     def segment_ids(self, key: Optional[np.ndarray] = None) -> np.ndarray:
         """Contiguous-run segment id per selected atom — the device-side form

@@ -225,6 +225,18 @@ class FileHandler:
             yield st
 
     def close(self) -> None:
+        # Print accumulated IO timing on close (reference FileStats-on-drop,
+        # io.rs:286-306, 784-792).
+        if self.stats.frames_processed:
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "%s: %d frames in %.3fs of IO (t=%.2f ps)",
+                self.path,
+                self.stats.frames_processed,
+                self.stats.elapsed_time,
+                self.stats.cur_t,
+            )
         self.handler.close()
 
     def __enter__(self):
