@@ -511,6 +511,25 @@ class Sel:
             self.coords[mx], other.coords[my], self.masses[mx]
         )
 
+    # -- property setters (Python-binding parity: set_same_* bulk writers) --------
+
+    def set_same_resname(self, resname: str) -> None:
+        code = self.topology.resname_pool.intern(resname)
+        self.topology.resname[self.indices] = code
+
+    def set_same_name(self, name: str) -> None:
+        code = self.topology.name_pool.intern(name)
+        self.topology.name[self.indices] = code
+
+    def set_same_chain(self, chain: str) -> None:
+        self.topology.chain[self.indices] = chain
+
+    def set_same_mass(self, mass: float) -> None:
+        self.topology.mass[self.indices] = mass
+
+    def set_same_charge(self, charge: float) -> None:
+        self.topology.charge[self.indices] = charge
+
     # -- modify ------------------------------------------------------------------
 
     def translate(self, shift) -> None:
