@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for the cell-grid within search (orthorhombic full PBC).
+
+The XLA cell-blocked search (ops.neighbor) materializes gathered neighbor
+blocks through HBM. This kernel exploits the grid structure instead: cells
+along x are contiguous in the flat cell id, so the 27-stencil factorizes into
+9 (dy, dz) neighbor *rows* x 3 x-shifts. Each program processes one cell row:
+the 9 neighbor rows arrive as BlockSpec-indexed VMEM blocks (the same target
+planes passed nine times with different index maps — no gather materializes),
+the three x-shifts are VMEM rolls, and the (dims_x, cap, tcap) distance block
+reduces on the VPU.
+
+Scope: orthorhombic boxes, full PBC, per-frame call (use inside lax.scan over
+a window). Triclinic / partial-PBC fall back to ops.neighbor.within_mask.
+Correctness is validated against the host search in interpreter mode; the
+blocked planes/caps contract matches ops.neighbor (fixed capacity + overflow
+flag from the plane builder).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import neighbor
+
+_OFF9 = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+
+
+def _kernel(dims_x: int, cap: int, tcap: int, interpret: bool):
+    def kernel(lengths_ref, sx, sy, sz, sval, *tgt_and_out):
+        # tgt_and_out: 9 x (tx, ty, tz, tval) blocks then the output ref.
+        out = tgt_and_out[-1]
+        lx = lengths_ref[0]
+        ly = lengths_ref[1]
+        lz = lengths_ref[2]
+        c2 = lengths_ref[3]
+        hit = jnp.zeros((dims_x, cap), dtype=jnp.bool_)
+        sxv = sx[0]
+        syv = sy[0]
+        szv = sz[0]
+        svv = sval[0]
+        for k in range(9):
+            tx = tgt_and_out[4 * k][0]  # (dims_x, tcap)
+            ty = tgt_and_out[4 * k + 1][0]
+            tz = tgt_and_out[4 * k + 2][0]
+            tv = tgt_and_out[4 * k + 3][0]
+            for dx in (-1, 0, 1):
+                if dx == 0:
+                    rx, ry, rz, rv = tx, ty, tz, tv
+                else:
+                    rx = jnp.roll(tx, -dx, 0)
+                    ry = jnp.roll(ty, -dx, 0)
+                    rz = jnp.roll(tz, -dx, 0)
+                    rv = jnp.roll(tv, -dx, 0)
+                ddx = rx[:, None, :] - sxv[:, :, None]
+                ddy = ry[:, None, :] - syv[:, :, None]
+                ddz = rz[:, None, :] - szv[:, :, None]
+                ddx = ddx - lx * jnp.round(ddx / lx)
+                ddy = ddy - ly * jnp.round(ddy / ly)
+                ddz = ddz - lz * jnp.round(ddz / lz)
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                ok = (d2 <= c2) & (rv[:, None, :] > 0)
+                hit = hit | jnp.any(ok, axis=2)
+        out[0] = hit & (svv > 0)
+
+    return kernel
+
+
+def _row_index_maps(dims):
+    """9 index maps: program r (flat row over y,z) -> neighbor row (dy,dz)."""
+    nx, ny, nz = dims
+
+    def make(dy, dz):
+        def imap(r):
+            y = r // nz
+            z = r % nz
+            yy = (y + dy) % ny
+            zz = (z + dz) % nz
+            return (yy * nz + zz, 0, 0)
+
+        return imap
+
+    return [make(dy, dz) for dy, dz in _OFF9]
+
+
+def within_mask_pallas(
+    coords,
+    src_idx,
+    tgt_idx,
+    cutoff: float,
+    box,
+    inv,
+    dims: tuple[int, int, int],
+    cap: int = 32,
+    tgt_cap: int = 32,
+    interpret: bool = False,
+):
+    """Boolean within mask (orthorhombic, full PBC) via the Pallas kernel.
+
+    Same contract as ops.neighbor.within_mask (minus triclinic/partial pbc):
+    returns (mask over src_idx, overflow flag).
+    """
+    nx, ny, nz = dims
+    n_rows = ny * nz
+    n = src_idx.shape[0]
+
+    # Build the blocked planes with the shared XLA helpers (sorts/scatters are
+    # fine in XLA; the kernel takes over the stencil compute).
+    src = coords[src_idx]
+    tgt = coords[tgt_idx]
+    sfx, sfy, sfz = neighbor._wrap_frac(src, inv)
+    tfx, tfy, tfz = neighbor._wrap_frac(tgt, inv)
+    sx, sy, sz = neighbor._apply3(box, sfx, sfy, sfz)
+    tx, ty, tz = neighbor._apply3(box, tfx, tfy, tfz)
+    scx, scy, scz = neighbor._cell3(sfx, sfy, sfz, dims)
+    # Flat id with x minor-most WITHIN a row: row = y*nz + z, cell = row*nx + x
+    sflat = (scy * nz + scz) * nx + scx
+    tcx, tcy, tcz = neighbor._cell3(tfx, tfy, tfz, dims)
+    tflat = (tcy * nz + tcz) * nx + tcx
+    n_cells = nx * ny * nz
+    zero = jnp.asarray(0.0, src.dtype)
+    ones_s = jnp.ones(src.shape[0], dtype=jnp.int8)
+    ones_t = jnp.ones(tgt.shape[0], dtype=jnp.int8)
+    (sxb, syb, szb, svalid), s_slot, s_order, s_ofl = neighbor._blocked_planes(
+        [sx, sy, sz, ones_s], sflat, n_cells, cap, [zero, zero, zero, 0]
+    )
+    (txb, tyb, tzb, tvalid), _, _, t_ofl = neighbor._blocked_planes(
+        [tx, ty, tz, ones_t], tflat, n_cells, tgt_cap, [zero, zero, zero, 0]
+    )
+
+    # (n_rows, nx, cap) layout: rows are the pallas grid.
+    def rows(a, c):
+        return a.reshape(n_rows, nx, c)
+
+    sxb, syb, szb = rows(sxb, cap), rows(syb, cap), rows(szb, cap)
+    svalid = rows(svalid, cap)
+    txb, tyb, tzb = rows(txb, tgt_cap), rows(tyb, tgt_cap), rows(tzb, tgt_cap)
+    tvalid = rows(tvalid, tgt_cap)
+
+    lengths = jnp.stack(
+        [box[0, 0], box[1, 1], box[2, 2], jnp.asarray(cutoff, src.dtype) ** 2]
+    )
+
+    src_spec = pl.BlockSpec((1, nx, cap), lambda r: (r, 0, 0), memory_space=pltpu.VMEM)
+    tgt_specs = []
+    for imap in _row_index_maps(dims):
+        for _ in range(4):
+            tgt_specs.append(
+                pl.BlockSpec((1, nx, tgt_cap), imap, memory_space=pltpu.VMEM)
+            )
+    # interleave the 9x4 tgt inputs in imap-major order to match the kernel
+    tgt_inputs = []
+    for _ in _OFF9:
+        tgt_inputs.extend([txb, tyb, tzb, tvalid])
+
+    out = pl.pallas_call(
+        _kernel(nx, cap, tgt_cap, interpret),
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            src_spec,
+            src_spec,
+            src_spec,
+            pl.BlockSpec((1, nx, cap), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            *tgt_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nx, cap), lambda r: (r, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_rows, nx, cap), jnp.bool_),
+        interpret=interpret,
+    )(lengths, sxb, syb, szb, svalid, *tgt_inputs)
+
+    hit_sorted = out.reshape(-1)[s_slot]
+    mask = jnp.zeros(n, dtype=bool).at[s_order].set(hit_sorted)
+    return mask, s_ofl | t_ofl
