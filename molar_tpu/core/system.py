@@ -182,6 +182,15 @@ class System:
         if self.state.forces is not None:
             self.state.forces = self.state.forces[idx]
 
+    def set_box_from(self, other: "System") -> None:
+        """Copy the periodic box from another system (system.rs set_box_from).
+
+        A fresh PeriodicBox is made so later mutations of either system's box
+        don't alias the other.
+        """
+        b = other.state.box
+        self.state.box = None if b is None else PeriodicBox(b.matrix.copy())
+
     def multiply_periodically(self, nx: int, ny: int, nz: int) -> None:
         """Tile the system nx*ny*nz times along the box vectors, scaling the
         box accordingly (system.rs:312; the solvate workhorse)."""

@@ -11,14 +11,22 @@ reduces on the VPU.
 
 Scope: orthorhombic boxes, full PBC, per-frame call (use inside lax.scan over
 a window). Triclinic / partial-PBC fall back to ops.neighbor.within_mask.
-Correctness is validated against the host search in interpreter mode; the
-blocked planes/caps contract matches ops.neighbor (fixed capacity + overflow
-flag from the plane builder).
+Target-slot validity is carried as f32 additive d2 penalties (Mosaic rejects
+sub-byte/i8 2D->3D broadcasts). Correctness is validated against the host
+search in interpreter mode and on hardware; the blocked planes/caps contract
+matches ops.neighbor (fixed capacity + overflow flag from the plane builder).
+
+Hardware status (v5e, 100k atoms / 5k targets / 0.5 nm grid 24x24x24,
+cap=40/tcap=48): compiles in ~16 s, exact host parity, ~60 ms/frame vs
+~30 ms/frame for the XLA dense path — the (1, nx, cap) row tiles underfill
+the 128-lane VPU. A fat-slab restructuring (whole (nz, nx, cap) y-slab per
+program, 3 BlockSpec y-slabs x in-kernel z/x rolls) is interpret-correct but
+hangs the Mosaic compiler on this toolchain (>30 min, killed); revisit with a
+newer Mosaic. Until then the XLA path remains the production default and this
+kernel is an opt-in alternative.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 
@@ -32,9 +40,9 @@ from . import neighbor
 _OFF9 = [(dy, dz) for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
 
 
-def _kernel(dims_x: int, cap: int, tcap: int, interpret: bool):
+def _kernel(dims_x: int, cap: int, tcap: int):
     def kernel(lengths_ref, sx, sy, sz, sval, *tgt_and_out):
-        # tgt_and_out: 9 x (tx, ty, tz, tval) blocks then the output ref.
+        # tgt_and_out: 9 x (tx, ty, tz, tpen) blocks then the output ref.
         out = tgt_and_out[-1]
         lx = lengths_ref[0]
         ly = lengths_ref[1]
@@ -49,24 +57,25 @@ def _kernel(dims_x: int, cap: int, tcap: int, interpret: bool):
             tx = tgt_and_out[4 * k][0]  # (dims_x, tcap)
             ty = tgt_and_out[4 * k + 1][0]
             tz = tgt_and_out[4 * k + 2][0]
-            tv = tgt_and_out[4 * k + 3][0]
+            # Pad slots carry a huge additive d2 penalty (f32 all the way —
+            # Mosaic rejects i8/bool 2D->3D broadcasts).
+            tp = tgt_and_out[4 * k + 3][0]
             for dx in (-1, 0, 1):
                 if dx == 0:
-                    rx, ry, rz, rv = tx, ty, tz, tv
+                    rx, ry, rz, rp = tx, ty, tz, tp
                 else:
                     rx = jnp.roll(tx, -dx, 0)
                     ry = jnp.roll(ty, -dx, 0)
                     rz = jnp.roll(tz, -dx, 0)
-                    rv = jnp.roll(tv, -dx, 0)
+                    rp = jnp.roll(tp, -dx, 0)
                 ddx = rx[:, None, :] - sxv[:, :, None]
                 ddy = ry[:, None, :] - syv[:, :, None]
                 ddz = rz[:, None, :] - szv[:, :, None]
                 ddx = ddx - lx * jnp.round(ddx / lx)
                 ddy = ddy - ly * jnp.round(ddy / ly)
                 ddz = ddz - lz * jnp.round(ddz / lz)
-                d2 = ddx * ddx + ddy * ddy + ddz * ddz
-                ok = (d2 <= c2) & (rv[:, None, :] > 0)
-                hit = hit | jnp.any(ok, axis=2)
+                d2 = ddx * ddx + ddy * ddy + ddz * ddz + rp[:, None, :]
+                hit = hit | jnp.any(d2 <= c2, axis=2)
         out[0] = hit & (svv > 0)
 
     return kernel
@@ -125,13 +134,14 @@ def within_mask_pallas(
     tflat = (tcy * nz + tcz) * nx + tcx
     n_cells = nx * ny * nz
     zero = jnp.asarray(0.0, src.dtype)
-    ones_s = jnp.ones(src.shape[0], dtype=jnp.int8)
-    ones_t = jnp.ones(tgt.shape[0], dtype=jnp.int8)
+    big = jnp.asarray(1e12, src.dtype)
+    ones_s = jnp.ones(src.shape[0], dtype=src.dtype)
+    pen_t = jnp.zeros(tgt.shape[0], dtype=src.dtype)
     (sxb, syb, szb, svalid), s_slot, s_order, s_ofl = neighbor._blocked_planes(
-        [sx, sy, sz, ones_s], sflat, n_cells, cap, [zero, zero, zero, 0]
+        [sx, sy, sz, ones_s], sflat, n_cells, cap, [zero, zero, zero, zero]
     )
-    (txb, tyb, tzb, tvalid), _, _, t_ofl = neighbor._blocked_planes(
-        [tx, ty, tz, ones_t], tflat, n_cells, tgt_cap, [zero, zero, zero, 0]
+    (txb, tyb, tzb, tpen), _, _, t_ofl = neighbor._blocked_planes(
+        [tx, ty, tz, pen_t], tflat, n_cells, tgt_cap, [zero, zero, zero, big]
     )
 
     # (n_rows, nx, cap) layout: rows are the pallas grid.
@@ -141,7 +151,7 @@ def within_mask_pallas(
     sxb, syb, szb = rows(sxb, cap), rows(syb, cap), rows(szb, cap)
     svalid = rows(svalid, cap)
     txb, tyb, tzb = rows(txb, tgt_cap), rows(tyb, tgt_cap), rows(tzb, tgt_cap)
-    tvalid = rows(tvalid, tgt_cap)
+    tpen = rows(tpen, tgt_cap)
 
     lengths = jnp.stack(
         [box[0, 0], box[1, 1], box[2, 2], jnp.asarray(cutoff, src.dtype) ** 2]
@@ -157,17 +167,17 @@ def within_mask_pallas(
     # interleave the 9x4 tgt inputs in imap-major order to match the kernel
     tgt_inputs = []
     for _ in _OFF9:
-        tgt_inputs.extend([txb, tyb, tzb, tvalid])
+        tgt_inputs.extend([txb, tyb, tzb, tpen])
 
     out = pl.pallas_call(
-        _kernel(nx, cap, tgt_cap, interpret),
+        _kernel(nx, cap, tgt_cap),
         grid=(n_rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             src_spec,
             src_spec,
             src_spec,
-            pl.BlockSpec((1, nx, cap), lambda r: (r, 0, 0), memory_space=pltpu.VMEM),
+            src_spec,
             *tgt_specs,
         ],
         out_specs=pl.BlockSpec(
