@@ -60,6 +60,32 @@ def make_trajectory(path: str, coords0: np.ndarray, box: np.ndarray, n_frames: i
     w.close()
 
 
+def _measure_caps(xtc_path, box, tgt_idx, cutoff, dims):
+    """Host pass over the trajectory: true max cell occupancy for sources
+    (all atoms) and targets, plus the max number of occupied target cells."""
+    from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.ops import neighbor
+
+    nx, ny, nz = dims
+    inv = box.inv
+    h = XtcHandler(xtc_path, "r")
+    coords, _, _ = h.read_frames(0, h.n_frames, None)
+    h.close()
+    max_all = max_tgt = need_cells = 0
+    for f in range(coords.shape[0]):
+        frac = (coords[f] @ inv.T) % 1.0
+        cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
+        cy = np.minimum((frac[:, 1] * ny).astype(np.int64), ny - 1)
+        cz = np.minimum((frac[:, 2] * nz).astype(np.int64), nz - 1)
+        cell = (cx * ny + cy) * nz + cz
+        cnt = np.bincount(cell, minlength=nx * ny * nz)
+        max_all = max(max_all, int(cnt.max()))
+        tc = np.bincount(cell[tgt_idx], minlength=nx * ny * nz)
+        max_tgt = max(max_tgt, int(tc.max()))
+        need_cells = max(need_cells, int((tc > 0).sum()))
+    return max_all, max_tgt, need_cells
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--atoms", type=int, default=100_000)
@@ -112,10 +138,17 @@ def main() -> int:
           file=sys.stderr)
 
     dims = neighbor.grid_dims(box.box_extents(), args.cutoff)
-    cap = 40  # ~12.5 atoms per 0.5nm cell at water density; headroom 3x
-    # The protein target set is compact: ~5k atoms in a blob covering ~1/20th
-    # of the cells -> per-cell occupancy up to ~30 in the core.
-    tcap = 48
+    # Size the fixed cell capacities from the actual data (the documented
+    # overflow-retry contract, resolved up front): one host pass over the
+    # trajectory measures true max occupancy; round up to multiples of 8 so
+    # the static shapes (and the compilation cache key) stay stable run-to-run.
+    cap, tcap, need_cells = _measure_caps(
+        xtc_path, box, protein_idx, args.cutoff, dims
+    )
+    cap = (cap + 2 + 7) // 8 * 8
+    tcap = (tcap + 2 + 7) // 8 * 8
+    max_tgt_cells = max(512, (int(need_cells * 1.25) + 255) // 256 * 256)
+    print(f"# caps: cap={cap} tcap={tcap} tgt_cells={max_tgt_cells}", file=sys.stderr)
 
     ref_j = jnp.asarray(ref_coords)
     pm_j = jnp.asarray(pmasses)
@@ -134,7 +167,7 @@ def main() -> int:
             rmsd, _, _ = measure.fit_rmsd(sel, ref_j, pm_j)
             mask, overflow = neighbor.within_mask(
                 c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
-                dims=dims, cap=cap, tgt_cap=tcap, max_tgt_cells=1024,
+                dims=dims, cap=cap, tgt_cap=tcap, max_tgt_cells=max_tgt_cells,
             )
             return carry, (rmsd, jnp.sum(mask), overflow)
 

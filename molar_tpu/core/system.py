@@ -638,6 +638,29 @@ class Sel:
             n_slices=n_slices,
         )
 
+    def sas_mesh(self, probe: float = 0.14, spacing: float = 0.05):
+        """Solvent-accessible surface triangle mesh (verts, tris); the
+        reference exposes SAS meshes from powersasa (sasa.rs:14-122)."""
+        from ..ops.surface import sas_mesh as _sas_mesh
+
+        return _sas_mesh(
+            self.state.coords[self.indices],
+            self.topology.vdw()[self.indices],
+            probe=probe,
+            spacing=spacing,
+        )
+
+    def ses_mesh(self, probe: float = 0.14, spacing: float = 0.05):
+        """Solvent-excluded (molecular) surface triangle mesh (verts, tris)."""
+        from ..ops.surface import ses_mesh as _ses_mesh
+
+        return _ses_mesh(
+            self.state.coords[self.indices],
+            self.topology.vdw()[self.indices],
+            probe=probe,
+            spacing=spacing,
+        )
+
     # -- secondary structure -------------------------------------------------------
 
     def dssp(self, flavor: str = "gmx") -> str:

@@ -125,6 +125,35 @@ class FileHandler:
         self.handler = factory(path, mode)
         self._pushback: Optional[State] = None
 
+    @classmethod
+    def from_reader(cls, reader, fmt: str) -> "FileHandler":
+        """Open a read handler over a non-file source (io.rs:396-422).
+
+        ``reader`` is any object with ``read()`` returning bytes or str (a
+        BytesIO/StringIO, a socket file, a download blob...). Because several
+        binary decoders are mmap/seek based, the stream is spooled to an
+        anonymous temp file that is unlinked as soon as the handler has opened
+        it — no path leaks to the caller and the data lives only for the
+        handler's lifetime. ``fmt`` names the format ("pdb", "xtc", ...)
+        since there is no file extension to dispatch on.
+        """
+        import tempfile
+
+        data = reader.read()
+        if isinstance(data, str):
+            data = data.encode()
+        tmp = tempfile.NamedTemporaryFile(suffix="." + fmt.lstrip("."), delete=False)
+        try:
+            tmp.write(data)
+            tmp.close()
+            fh = cls(tmp.name, "r")
+        finally:
+            try:
+                os.unlink(tmp.name)
+            except OSError:
+                pass
+        return fh
+
     # -- reads -----------------------------------------------------------------
 
     def read(self) -> tuple[Topology, State]:

@@ -37,6 +37,7 @@ from ..core.pbc import PeriodicBox, PeriodicBoxError
 from ..core.state import State
 from ..core.system import System
 from ..io import FileHandler
+from ..utils.greeting import greeting
 
 log = logging.getLogger("molar_tpu.analysis")
 
@@ -352,6 +353,7 @@ class WindowAnalysisTask:
         parser = build_arg_parser(self.task_name)
         self.add_args(parser)
         args = parser.parse_args(argv)
+        greeting(self.task_name)
         structure, *trajectories = args.files
         system = System.from_file(structure)
         self.args = args
@@ -404,6 +406,7 @@ class AnalysisTask:
         parser = build_arg_parser(self.task_name)
         self.add_args(parser)
         args = parser.parse_args(argv)
+        greeting(self.task_name)
         if len(args.files) < 1:
             raise AnalysisError("need a structure file")
         structure, *trajectories = args.files
