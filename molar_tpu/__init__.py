@@ -25,7 +25,7 @@ from .core import (
     State,
     Topology,
 )
-from .core.system import Sel, SelectionError, System, distance_search
+from .core.system import Particle, Sel, SelectionError, System, distance_search
 from .selection import SelectionExpr, SelectionSyntaxError
 
 __version__ = "0.1.0"

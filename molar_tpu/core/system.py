@@ -326,6 +326,16 @@ class Sel:
     def __repr__(self) -> str:
         return f"Sel({len(self)} atoms)"
 
+    # -- per-atom views --------------------------------------------------------
+
+    def __getitem__(self, k: int) -> "Particle":
+        """k-th particle of the selection (reference particle.rs:4-17)."""
+        return Particle(self.system, int(self.indices[k]))
+
+    def __iter__(self):
+        for i in self.indices:
+            yield Particle(self.system, int(i))
+
     # -- sub-selection / set algebra -------------------------------------------
 
     def select(self, seldef: SelectionDef) -> "Sel":
@@ -713,3 +723,82 @@ class Sel:
         for i in range(0, len(vals), 15):
             lines.append(" ".join(str(v) for v in vals[i : i + 15]))
         return "\n".join(lines) + "\n"
+
+
+class Particle:
+    """Mutable single-atom view: global index + property accessors backed by
+    the SoA columns (reference particle.rs:4-17 — {id, atom, pos}).
+
+    Reads decode from the interned columns; writes intern/scatter back, so a
+    Particle is a convenience handle, not a hot-loop API (bulk work goes
+    through the column arrays / device kernels).
+    """
+
+    __slots__ = ("system", "index")
+
+    def __init__(self, system: System, index: int):
+        self.system = system
+        self.index = int(index)
+
+    # identity -------------------------------------------------------------
+    @property
+    def id(self) -> int:
+        return self.index
+
+    @property
+    def atom(self) -> "Atom":
+        """Detached Atom copy of this row."""
+        return self.system.topology.atom(self.index)
+
+    # position --------------------------------------------------------------
+    @property
+    def pos(self) -> np.ndarray:
+        return self.system.state.coords[self.index]
+
+    @pos.setter
+    def pos(self, value) -> None:
+        self.system.state.coords[self.index] = np.asarray(value, FLOAT)
+
+    # atom properties ---------------------------------------------------------
+    @property
+    def name(self) -> str:
+        t = self.system.topology
+        return t.name_pool.lookup(int(t.name[self.index]))
+
+    @name.setter
+    def name(self, value: str) -> None:
+        t = self.system.topology
+        t.name[self.index] = t.name_pool.intern(value)
+
+    @property
+    def resname(self) -> str:
+        t = self.system.topology
+        return t.resname_pool.lookup(int(t.resname[self.index]))
+
+    @resname.setter
+    def resname(self, value: str) -> None:
+        t = self.system.topology
+        t.resname[self.index] = t.resname_pool.intern(value)
+
+    def _col(name):  # noqa: N805 - tiny descriptor factory
+        def get(self):
+            v = getattr(self.system.topology, name)[self.index]
+            return v.item() if hasattr(v, "item") else v
+
+        def set(self, value):
+            getattr(self.system.topology, name)[self.index] = value
+
+        return property(get, set)
+
+    resid = _col("resid")
+    resindex = _col("resindex")
+    atomic_number = _col("atomic_number")
+    mass = _col("mass")
+    charge = _col("charge")
+    chain = _col("chain")
+    bfactor = _col("bfactor")
+    occupancy = _col("occupancy")
+    del _col
+
+    def __repr__(self) -> str:
+        return f"Particle({self.index}: {self.name} {self.resname}{self.resid})"

@@ -1,0 +1,46 @@
+"""Particle per-atom views (reference particle.rs:4-17)."""
+
+import numpy as np
+import pytest
+
+from molar_tpu import Particle, System
+
+
+@pytest.fixture()
+def sys_(ref_data):
+    return System.from_file(str(ref_data / "protein.pdb"))
+
+
+def test_iteration_and_indexing(sys_):
+    sel = sys_("resid 545:547")
+    parts = list(sel)
+    assert len(parts) == len(sel)
+    assert isinstance(parts[0], Particle)
+    assert parts[0].id == sel.indices[0]
+    assert sel[2].id == sel.indices[2]
+    # reads agree with the column API
+    assert [p.name for p in parts[:3]] == list(sel.names[:3])
+    assert parts[0].resid == sel.resids[0]
+
+
+def test_particle_reads(sys_):
+    p = sys_.select_all()[0]
+    a = p.atom
+    assert a.name == p.name and a.resid == p.resid
+    np.testing.assert_array_equal(p.pos, sys_.state.coords[0])
+    assert p.mass > 0 and p.atomic_number > 0
+
+
+def test_particle_writes_hit_columns(sys_):
+    p = sys_.select_all()[5]
+    p.name = "QQ7"
+    p.resname = "ZZZ"
+    p.charge = -0.25
+    p.pos = [1.0, 2.0, 3.0]
+    top = sys_.topology
+    assert top.names([5])[0] == "QQ7"
+    assert top.resnames([5])[0] == "ZZZ"
+    assert top.charge[5] == pytest.approx(-0.25)
+    np.testing.assert_allclose(sys_.state.coords[5], [1.0, 2.0, 3.0])
+    # and the selection layer sees it
+    assert sys_("name QQ7").indices.tolist() == [5]
