@@ -151,6 +151,14 @@ class System:
             )
             self.state.velocities = np.concatenate([self.state.velocities, v])
 
+    def append(self, what: Union["System", "Sel"]) -> None:
+        """Append a System or a Sel — including a selection of this same
+        system (reference append_from_self, system.rs:272). The source is
+        snapshotted first, so self-appends are safe."""
+        if isinstance(what, Sel):
+            what = what.to_system()
+        self.append_system(what)
+
     def append_system(self, other: "System") -> None:
         self.topology = self.topology.concat(other.topology)
         self.state.coords = np.concatenate([self.state.coords, other.state.coords])
@@ -715,6 +723,23 @@ class Sel:
 
         with FileHandler(path, "w") as fh:
             fh.write(self.topology, self.state, indices=self.indices)
+
+    def to_system(self) -> "System":
+        """Detached copy of the selected atoms as a standalone System."""
+        st = self.state
+        new_state = State(
+            coords=st.coords[self.indices].copy(),
+            velocities=(
+                st.velocities[self.indices].copy()
+                if st.velocities is not None
+                else None
+            ),
+            forces=st.forces[self.indices].copy() if st.forces is not None else None,
+            time=st.time,
+            box=None if st.box is None else PeriodicBox(st.box.matrix.copy()),
+            step=st.step,
+        )
+        return System(self.topology.subset(self.indices), new_state)
 
     def to_gromacs_ndx(self, name: str) -> str:
         """Gromacs ndx group text (1-based; providers.rs as_gromacs_ndx_str)."""

@@ -44,3 +44,17 @@ def test_particle_writes_hit_columns(sys_):
     np.testing.assert_allclose(sys_.state.coords[5], [1.0, 2.0, 3.0])
     # and the selection layer sees it
     assert sys_("name QQ7").indices.tolist() == [5]
+
+
+def test_to_system_and_append_from_self(sys_):
+    import numpy as np
+
+    n0 = sys_.n_atoms
+    sel = sys_("resid 545:547")
+    sub = sel.to_system()
+    assert sub.n_atoms == len(sel)
+    np.testing.assert_array_equal(sub.state.coords, sys_.state.coords[sel.indices])
+    assert sub.state.box is not None and sub.state.box is not sys_.state.box
+    sys_.append(sel)  # append_from_self (system.rs:272)
+    assert sys_.n_atoms == n0 + len(sel)
+    np.testing.assert_array_equal(sys_.state.coords[n0:], sub.state.coords)
