@@ -95,6 +95,10 @@ def main() -> int:
     ap.add_argument("--cutoff", type=float, default=0.5)
     ap.add_argument("--box", type=float, default=10.0)
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke test")
+    ap.add_argument("--quantized", action="store_true",
+                    help="ship XTC windows as raw i16 quantized ints (half the "
+                    "H2D bytes, bit-exact); wins when the host-device wire is "
+                    "the bottleneck — erratic on shared tunnels, so off by default")
     ap.add_argument("--host-frames", type=int, default=2,
                     help="frames used to time the single-core host baseline")
     args = ap.parse_args()
@@ -157,6 +161,12 @@ def main() -> int:
 
     @jax.jit
     def window_fn(coords, boxes, invs, times):
+        if isinstance(coords, tuple):
+            # Quantized transfer: XTC's raw ints x scale reproduces the f32
+            # decode bit-exactly at half the H2D bytes (the tunnel is the
+            # bottleneck wire, ~40 MB/s sustained).
+            icoords, scale = coords
+            coords = icoords.astype(jnp.float32) * scale
         def per_frame(carry, frame):
             c, b, i = frame
             # Per-component gather: a (n,3) row gather costs ~2 min of XLA
@@ -179,7 +189,7 @@ def main() -> int:
         return rmsd, cnt, ofl
 
     reader = TrajectoryReader([xtc_path])
-    pipeline = WindowPipeline(reader, args.window, window_fn)
+    pipeline = WindowPipeline(reader, args.window, window_fn, quantized=args.quantized)
 
     # Warmup: compile on the first window shape.
     first = next(iter(reader.iter_windows(args.window)))

@@ -204,6 +204,75 @@ class XtcHandler(FormatHandler):
                 work(k)
         return coords, boxes, times
 
+    def read_frames_i16(
+        self, start: int, count: int, n_threads: Optional[int] = None
+    ) -> tuple[np.ndarray, np.float32, np.ndarray, np.ndarray]:
+        """Decode a window to the stream's raw quantized ints as int16:
+        -> (icoords (B,N,3) i16, scale f32, boxes, times).
+
+        XTC coordinates *are* ints times 1/precision; shipping the ints and
+        multiplying on device reproduces the float decode bit-exactly at half
+        the host->device bytes (the transfer is the hot wire on tunneled
+        backends). Raises ValueError when the window can't be represented
+        (coordinate beyond +-32767 quantized units, uncompressed tiny frame,
+        or mixed precisions) — callers fall back to :meth:`read_frames`.
+        """
+        count = min(count, self.n_frames - start)
+        if count <= 0:
+            return (
+                np.empty((0, self._natoms, 3), np.int16),
+                np.float32(1.0),
+                np.empty((0, 3, 3), np.float32),
+                np.empty(0, np.float32),
+            )
+        icoords = np.empty((count, self._natoms, 3), dtype=np.int16)
+        boxes = np.empty((count, 3, 3), dtype=np.float32)
+        times = np.empty(count, dtype=np.float32)
+        precs = np.empty(count, dtype=np.float32)
+        size = len(self._mm)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+
+        def work(k: int):
+            offset = int(self._offsets[start + k])
+            addr = self._data[offset:].ctypes.data_as(_u8p)
+            box9 = np.empty(9, dtype=np.float32)
+            step = ctypes.c_int32()
+            time = ctypes.c_float()
+            prec = ctypes.c_float()
+            n = self._lib.xtc_decode_frame_buf_i16(
+                addr,
+                size - offset,
+                icoords[k].ctypes.data_as(i16p),
+                box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(step),
+                ctypes.byref(time),
+                ctypes.byref(prec),
+            )
+            if n == -2:
+                raise ValueError(
+                    "frame not representable as i16 quantized coordinates"
+                )
+            if n != self._natoms:
+                raise MalformedFileError(
+                    f"xtc decode failed at offset {offset} in {self.path}"
+                )
+            boxes[k] = box9.reshape(3, 3).T
+            times[k] = time.value
+            precs[k] = prec.value
+
+        workers = n_threads or min(os.cpu_count() or 1, 8)
+        if workers > 1 and count > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(work, range(count)))
+        else:
+            for k in range(count):
+                work(k)
+        if not (precs == precs[0]).all() or precs[0] <= 0:
+            raise ValueError("mixed or invalid precisions in window")
+        # Same f32 arithmetic as the C decoder: inv = 1.0f / precision.
+        scale = np.float32(1.0) / np.float32(precs[0])
+        return icoords, scale, boxes, times
+
     # -- FormatHandler interface ------------------------------------------------
 
     def read_state(self) -> Optional[State]:

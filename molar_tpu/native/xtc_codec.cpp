@@ -242,49 +242,47 @@ int sizeofints(int num_of_ints, const uint32_t sizes[]) {
   return num_of_bits + num_of_bytes * 8;
 }
 
-}  // namespace
-
-// ---------------------------------------------------------------------------
-// C ABI
-// ---------------------------------------------------------------------------
-
-extern "C" {
-
-// Parse one frame header from `buf` (>= 56 bytes). Outputs natoms/step/time/
-// box (row-major rows = box vectors, GROMACS convention) and the total frame
-// size in bytes (header+payload, 4-byte aligned). Returns 1 on success,
-// 0 if magic mismatches / truncated.
-int xtc_parse_header(const uint8_t* buf, long buflen, int32_t* natoms,
-                     int32_t* step, float* time, float* box9,
-                     long* frame_bytes) {
-  Cursor c{buf, (size_t)buflen};
-  int32_t magic = c.i32();
-  if (!c.ok || magic != XTC_MAGIC) return 0;
-  int32_t n = c.i32();
-  *natoms = n;
-  *step = c.i32();
-  *time = c.f32();
-  for (int i = 0; i < 9; i++) box9[i] = c.f32();
-  int32_t n2 = c.i32();
-  if (!c.ok || n2 != n) return 0;
-  if (n <= 9) {
-    *frame_bytes = (long)c.off + 12L * n;
-  } else {
-    c.f32();                      // precision
-    for (int i = 0; i < 6; i++) c.i32();  // minint+maxint
-    c.i32();                      // smallidx
-    int32_t nbytes = c.i32();
-    if (!c.ok || nbytes < 0) return 0;
-    *frame_bytes = (long)c.off + ((nbytes + 3L) / 4L) * 4L;
+// Output policies for the frame decoder: the XDR3DFR stream carries
+// quantized int coordinates; FloatStore reproduces the canonical
+// int * (1/precision) floats, I16Store emits the raw quantized ints as
+// int16 (lossless when they fit — the device multiplies by 1/precision
+// and gets bit-identical f32, at half the host->device bytes).
+struct FloatStore {
+  float* p;
+  float inv = 1.0f;
+  bool ok = true;
+  void set_inv(float precision) { inv = 1.0f / precision; }
+  inline void store3(const int* c) {
+    p[0] = c[0] * inv;
+    p[1] = c[1] * inv;
+    p[2] = c[2] * inv;
+    p += 3;
   }
-  return c.ok ? 1 : 0;
-}
+  bool tiny(Cursor& c, int natoms) {  // uncompressed small-frame case
+    for (int i = 0; i < natoms * 3; i++) p[i] = c.f32();
+    return c.ok;
+  }
+};
 
-// Decode one complete frame held in `buf`. coords: natoms*3 floats out.
-// Returns number of atoms decoded, or -1 on error. Thread-safe.
-int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
-                         float* box9, int32_t* step, float* time,
-                         float* precision_out) {
+struct I16Store {
+  int16_t* p;
+  bool ok = true;
+  void set_inv(float) {}
+  inline void store3(const int* c) {
+    for (int d = 0; d < 3; d++) {
+      int v = c[d];
+      if (v < -32768 || v > 32767) { ok = false; v = 0; }
+      p[d] = (int16_t)v;
+    }
+    p += 3;
+  }
+  bool tiny(Cursor&, int) { return false; }  // no ints exist; caller falls back
+};
+
+template <class Store>
+static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
+                           float* box9, int32_t* step, float* time,
+                           float* precision_out) {
   Cursor c{buf, (size_t)buflen};
   int32_t magic = c.i32();
   if (!c.ok || magic != XTC_MAGIC) return -1;
@@ -296,13 +294,13 @@ int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
   if (!c.ok || lsize != natoms || natoms < 0) return -1;
 
   if (natoms <= 9) {
-    for (int i = 0; i < natoms * 3; i++) coords[i] = c.f32();
     if (precision_out) *precision_out = 0.0f;
-    return c.ok ? natoms : -1;
+    return st.tiny(c, natoms) ? natoms : -1;
   }
 
   float precision = c.f32();
   if (precision_out) *precision_out = precision;
+  st.set_inv(precision);
   int32_t minint[3], maxint[3];
   for (int i = 0; i < 3; i++) minint[i] = c.i32();
   for (int i = 0; i < 3; i++) maxint[i] = c.i32();
@@ -333,9 +331,7 @@ int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
 
   BitReader br{buf + c.off, (size_t)((nbytes + 3) / 4) * 4};
 
-  float inv_precision = 1.0f / precision;
   int thiscoord[3], prevcoord[3] = {0, 0, 0};
-  float* lfp = coords;
   int i = 0;
   int run = 0;
   while (i < lsize) {
@@ -379,23 +375,17 @@ int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
           int t0 = thiscoord[0]; thiscoord[0] = prevcoord[0]; prevcoord[0] = t0;
           int t1 = thiscoord[1]; thiscoord[1] = prevcoord[1]; prevcoord[1] = t1;
           int t2 = thiscoord[2]; thiscoord[2] = prevcoord[2]; prevcoord[2] = t2;
-          *lfp++ = prevcoord[0] * inv_precision;
-          *lfp++ = prevcoord[1] * inv_precision;
-          *lfp++ = prevcoord[2] * inv_precision;
+          st.store3(prevcoord);
         } else {
           prevcoord[0] = thiscoord[0];
           prevcoord[1] = thiscoord[1];
           prevcoord[2] = thiscoord[2];
         }
-        *lfp++ = thiscoord[0] * inv_precision;
-        *lfp++ = thiscoord[1] * inv_precision;
-        *lfp++ = thiscoord[2] * inv_precision;
+        st.store3(thiscoord);
       }
       run = 0;
     } else {
-      *lfp++ = thiscoord[0] * inv_precision;
-      *lfp++ = thiscoord[1] * inv_precision;
-      *lfp++ = thiscoord[2] * inv_precision;
+      st.store3(thiscoord);
     }
     smallidx += is_smaller;
     if (is_smaller < 0) {
@@ -409,7 +399,67 @@ int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
     sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
     if (!br.ok) return -1;
   }
-  return natoms;
+  return st.ok ? natoms : -2;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Parse one frame header from `buf` (>= 56 bytes). Outputs natoms/step/time/
+// box (row-major rows = box vectors, GROMACS convention) and the total frame
+// size in bytes (header+payload, 4-byte aligned). Returns 1 on success,
+// 0 if magic mismatches / truncated.
+int xtc_parse_header(const uint8_t* buf, long buflen, int32_t* natoms,
+                     int32_t* step, float* time, float* box9,
+                     long* frame_bytes) {
+  Cursor c{buf, (size_t)buflen};
+  int32_t magic = c.i32();
+  if (!c.ok || magic != XTC_MAGIC) return 0;
+  int32_t n = c.i32();
+  *natoms = n;
+  *step = c.i32();
+  *time = c.f32();
+  for (int i = 0; i < 9; i++) box9[i] = c.f32();
+  int32_t n2 = c.i32();
+  if (!c.ok || n2 != n) return 0;
+  if (n <= 9) {
+    *frame_bytes = (long)c.off + 12L * n;
+  } else {
+    c.f32();                      // precision
+    for (int i = 0; i < 6; i++) c.i32();  // minint+maxint
+    c.i32();                      // smallidx
+    int32_t nbytes = c.i32();
+    if (!c.ok || nbytes < 0) return 0;
+    *frame_bytes = (long)c.off + ((nbytes + 3L) / 4L) * 4L;
+  }
+  return c.ok ? 1 : 0;
+}
+
+// Decode one complete frame held in `buf`. coords: natoms*3 floats out.
+// Returns number of atoms decoded, or -1 on error. Thread-safe.
+int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
+                         float* box9, int32_t* step, float* time,
+                         float* precision_out) {
+  FloatStore st{coords};
+  return xtc_decode_core(buf, buflen, st, box9, step, time, precision_out);
+}
+
+// Decode one frame to the raw quantized int coordinates as int16 (natoms*3).
+// Returns natoms, -1 on stream error, -2 if a coordinate exceeds int16 range
+// or the frame is a tiny uncompressed one (no quantized ints exist) — the
+// caller falls back to the float decoder.
+int xtc_decode_frame_buf_i16(const uint8_t* buf, long buflen, int16_t* coords,
+                             float* box9, int32_t* step, float* time,
+                             float* precision_out) {
+  I16Store st{coords};
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out);
+  if (n >= 0 && (precision_out && *precision_out == 0.0f)) return -2;
+  return n;
 }
 
 // Encode one frame into a malloc'd buffer (caller frees with xtc_free).

@@ -144,14 +144,25 @@ class TrajectoryReader:
                     in_window += 1
 
     def iter_windows(
-        self, window: int, n_threads: Optional[int] = None, invert_boxes: bool = True
+        self,
+        window: int,
+        n_threads: Optional[int] = None,
+        invert_boxes: bool = True,
+        quantized: bool = False,
     ):
-        """Yield (coords (B,N,3), boxes (B,3,3), invs, times, frame_ids).
+        """Yield (coords, boxes (B,3,3), invs, times, frame_ids).
 
         Uses each handler's parallel window decode when available (XTC),
         falling back to serial state reads; applies begin/end/skip on the
         frame index level. ``invert_boxes=False`` skips the host-side box
         inversion (yielding None) for consumers that invert on device.
+
+        ``quantized=True`` ships XTC windows as their raw quantized ints:
+        coords becomes the pair ``(icoords (B,N,3) int16, scale f32 scalar)``
+        — HALF the host->device bytes, and ``icoords * scale`` on device is
+        bit-identical to the float decode. Windows that can't be represented
+        (non-XTC source, huge boxes, tiny frames) silently fall back to
+        plain f32 coords, so consumers must handle both forms.
         """
         from ..io.xtc import XtcHandler
 
@@ -181,9 +192,19 @@ class TrajectoryReader:
                 for s in range(0, len(kept), window):
                     chunk = kept[s : s + window]
                     if np.array_equal(chunk, np.arange(chunk[0], chunk[0] + len(chunk))):
-                        coords, boxes, times_w = h.read_frames(
-                            int(chunk[0]), len(chunk), n_threads
-                        )
+                        coords = None
+                        if quantized:
+                            try:
+                                ic, scale, boxes, times_w = h.read_frames_i16(
+                                    int(chunk[0]), len(chunk), n_threads
+                                )
+                                coords = (ic, scale)
+                            except ValueError:
+                                coords = None
+                        if coords is None:
+                            coords, boxes, times_w = h.read_frames(
+                                int(chunk[0]), len(chunk), n_threads
+                            )
                     else:
                         # decimated: decode frame-by-frame (still random access)
                         coords = np.empty((len(chunk), h.n_atoms, 3), np.float32)
@@ -264,6 +285,7 @@ class WindowPipeline:
         queue_depth: int = 2,
         n_threads: Optional[int] = None,
         invert_boxes: bool = True,
+        quantized: bool = False,
     ):
         self.reader = reader
         self.window = window
@@ -272,6 +294,7 @@ class WindowPipeline:
         self.queue_depth = queue_depth
         self.n_threads = n_threads
         self.invert_boxes = invert_boxes
+        self.quantized = quantized
 
     def run(self):
         """Yield (frame_ids, result_pytree) per window."""
@@ -282,7 +305,10 @@ class WindowPipeline:
 
         def feeder():
             try:
-                for item in self.reader.iter_windows(self.window, self.n_threads, self.invert_boxes):
+                for item in self.reader.iter_windows(
+                    self.window, self.n_threads, self.invert_boxes,
+                    quantized=self.quantized,
+                ):
                     coords, boxes, invs, times, ids = item
                     if self.device_put:
                         # One device_put for the whole window: each call can

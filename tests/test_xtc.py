@@ -127,3 +127,33 @@ def test_truncated_tail_tolerated(tmp_path, ref_data):
     h = XtcHandler(str(cut))
     assert h.n_frames == 4  # last frame dropped, no error
     h.close()
+
+
+def test_read_frames_i16_bitexact(ref_data):
+    """i16 quantized decode x scale reproduces the float decode bit-exactly."""
+    from molar_tpu.io.xtc import XtcHandler
+
+    h = XtcHandler(str(ref_data / "benzene.xtc"), "r")
+    ic, scale, boxes, times = h.read_frames_i16(0, h.n_frames)
+    c, b2, t2 = h.read_frames(0, h.n_frames)
+    assert ic.dtype == np.int16
+    np.testing.assert_array_equal(ic.astype(np.float32) * scale, c)
+    np.testing.assert_array_equal(boxes, b2)
+    np.testing.assert_array_equal(times, t2)
+    h.close()
+
+
+def test_iter_windows_quantized(tmp_path, ref_data):
+    from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.tasks.trajectory import TrajectoryReader
+
+    src = str(ref_data / "benzene.xtc")
+    reader = TrajectoryReader([src])
+    plain = list(reader.iter_windows(4))
+    quant = list(reader.iter_windows(4, quantized=True))
+    assert len(plain) == len(quant)
+    for (c, b, i, t, ids), (cq, bq, iq, tq, idsq) in zip(plain, quant):
+        assert isinstance(cq, tuple)
+        ic, scale = cq
+        np.testing.assert_array_equal(ic.astype(np.float32) * scale, c)
+        np.testing.assert_array_equal(ids, idsq)
