@@ -724,6 +724,11 @@ class Sel:
         with FileHandler(path, "w") as fh:
             fh.write(self.topology, self.state, indices=self.indices)
 
+    def __rshift__(self, system: "System") -> "Sel":
+        """``sel >> other_system``: rebind this selection's indices to another
+        system (the reference's Shr operator sugar, system.rs:422-435)."""
+        return system.bind(self)
+
     def to_system(self) -> "System":
         """Detached copy of the selected atoms as a standalone System."""
         st = self.state

@@ -196,6 +196,38 @@ class FileHandler:
     def write_system(self, system, indices=None) -> None:
         self.write(system.topology, system.state, indices)
 
+    def write_state_pick(
+        self,
+        state: State,
+        indices=None,
+        write_coords: bool = True,
+        write_velocities: bool = True,
+        write_forces: bool = True,
+    ) -> None:
+        """Write a state skipping vel/forces at the IO level (io.rs
+        write_state_pick). Formats whose handler lacks native pick support
+        get a filtered copy."""
+        h = self.handler
+        with self.stats.timed():
+            if hasattr(h, "write_state"):
+                h.write_state(
+                    state,
+                    indices,
+                    write_coords=write_coords,
+                    write_velocities=write_velocities,
+                    write_forces=write_forces,
+                )
+            else:
+                import dataclasses
+
+                filtered = dataclasses.replace(
+                    state,
+                    velocities=state.velocities if write_velocities else None,
+                    forces=state.forces if write_forces else None,
+                )
+                h.write(None, filtered, indices)
+        self.stats.frames_processed += 1
+
     # -- random access ---------------------------------------------------------
 
     def seek_frame(self, fr: int) -> None:

@@ -58,3 +58,13 @@ def test_to_system_and_append_from_self(sys_):
     sys_.append(sel)  # append_from_self (system.rs:272)
     assert sys_.n_atoms == n0 + len(sel)
     np.testing.assert_array_equal(sys_.state.coords[n0:], sub.state.coords)
+
+
+def test_rshift_rebind(sys_, ref_data):
+    from molar_tpu import System
+
+    other = System.from_file(str(ref_data / "protein.pdb"))
+    sel = sys_("name CA")
+    sel2 = sel >> other  # system.rs:422-435 Shr sugar
+    assert sel2.system is other
+    assert len(sel2) == len(sel)

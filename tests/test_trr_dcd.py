@@ -139,3 +139,29 @@ def test_trr_window_read(tmp_path, frames):
     assert coords.shape == (2, 77, 3)
     np.testing.assert_allclose(coords[0], frames[1].coords, atol=1e-6)
     r.close()
+
+
+def test_facade_write_state_pick(tmp_path):
+    """io.rs write_state_pick: drop velocities/forces at the IO level."""
+    from molar_tpu.core.pbc import PeriodicBox
+    from molar_tpu.core.state import State
+    from molar_tpu.io import FileHandler
+
+    rng = np.random.default_rng(3)
+    st = State(
+        coords=rng.uniform(0, 5, (20, 3)).astype(np.float32),
+        velocities=rng.normal(size=(20, 3)).astype(np.float32),
+        forces=rng.normal(size=(20, 3)).astype(np.float32),
+        box=PeriodicBox(np.diag([5.0, 5.0, 5.0]).astype(np.float32)),
+        time=1.5,
+    )
+    p = str(tmp_path / "pick.trr")
+    w = FileHandler(p, "w")
+    w.write_state_pick(st, write_velocities=False)
+    w.close()
+    r = FileHandler(p)
+    got = r.read_state()
+    r.close()
+    assert got.velocities is None
+    assert got.forces is not None  # forces kept
+    np.testing.assert_allclose(got.coords, st.coords, atol=1e-6)
