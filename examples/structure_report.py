@@ -27,7 +27,7 @@ def main() -> int:
     print(f"center of mass: {sel.com()}")
     print(f"radius of gyration: {sel.gyration():.4f} nm")
     sasa = sel.sasa(with_volume=True)
-    print(f"SASA: {sasa.total_area:.2f} nm^2   volume: {sasa.total_volume:.2f} nm^3")
+    print(f"SASA: {sasa.total_area():.2f} nm^2   volume: {sasa.total_volume():.2f} nm^3")
     print(f"DSSP: {sel.dssp()}")
     if args.obj:
         v, t = sel.ses_mesh(spacing=0.05)
