@@ -1,0 +1,159 @@
+"""Analysis task runners (reference analysis_task.rs:124-280 + pymolar
+AnalysisTask): FrameSpec grammar, multi-trajectory concat, skip phase,
+window pipeline, per-frame and windowed harnesses."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from molar_tpu.io.xtc import XtcHandler
+from molar_tpu.tasks.trajectory import (
+    AnalysisTask,
+    FrameSpec,
+    TrajectoryReader,
+    WindowAnalysisTask,
+    WindowPipeline,
+)
+
+
+def _write_traj(path, n_atoms, n_frames, t0=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    w = XtcHandler(str(path), "w")
+    c = rng.uniform(0, 4, (n_atoms, 3)).astype(np.float32)
+    for k in range(n_frames):
+        w.write_raw(c + 0.001 * k, box, step=k, time=t0 + float(k))
+    w.close()
+
+
+@pytest.fixture()
+def two_trajs(tmp_path):
+    _write_traj(tmp_path / "a.xtc", 30, 7, t0=0.0)
+    _write_traj(tmp_path / "b.xtc", 30, 5, t0=0.0)  # clock restarts
+    return [str(tmp_path / "a.xtc"), str(tmp_path / "b.xtc")]
+
+
+@pytest.fixture()
+def structure(tmp_path):
+    """Minimal 30-atom GRO structure matching the trajectories."""
+    lines = ["test", "30"]
+    for i in range(30):
+        lines.append(f"{1:5d}{'SOL':<5}{'OW':>5}{i + 1:5d}{0.0:8.3f}{0.0:8.3f}{0.0:8.3f}")
+    lines.append("   4.00000   4.00000   4.00000")
+    path = tmp_path / "s.gro"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def test_framespec_grammar():
+    assert FrameSpec.parse(None) == FrameSpec()
+    assert FrameSpec.parse("7") == FrameSpec(frame=7)
+    assert FrameSpec.parse("7fr") == FrameSpec(frame=7)
+    assert FrameSpec.parse("2.5ps").time == pytest.approx(2.5)
+    assert FrameSpec.parse("1ns").time == pytest.approx(1000.0)
+    assert FrameSpec.parse("1us").time == pytest.approx(1e6)
+
+
+def test_reader_concat_and_global_numbering(two_trajs):
+    got = [(fr, st.time) for fr, st in TrajectoryReader(two_trajs).iter_states()]
+    assert [f for f, _ in got] == list(range(12))  # global frame ids
+    assert [t for _, t in got[:7]] == [float(k) for k in range(7)]
+    assert [t for _, t in got[7:]] == [float(k) for k in range(5)]
+
+
+def test_reader_skip_phase_crosses_files(two_trajs):
+    # skip=3 from frame 0: 0,3,6 | 9 (=file b frame 2) — phase carries over
+    frs = [fr for fr, _ in TrajectoryReader(two_trajs, skip=3).iter_states()]
+    assert frs == [0, 3, 6, 9]
+
+
+def test_reader_begin_end_window(two_trajs):
+    r = TrajectoryReader(
+        two_trajs, begin=FrameSpec.parse("2"), end=FrameSpec.parse("8")
+    )
+    assert [fr for fr, _ in r.iter_states()] == list(range(2, 9))
+
+
+def test_window_pipeline_matches_direct_reads(two_trajs):
+    @jax.jit
+    def window_fn(coords, boxes, invs, times):
+        return jnp.sum(coords, axis=(1, 2)), times
+
+    reader = TrajectoryReader(two_trajs)
+    sums, times, ids = [], [], []
+    for fids, (s, t) in WindowPipeline(reader, 4, window_fn).run():
+        sums.append(np.asarray(s))
+        times.append(np.asarray(t))
+        ids.append(fids)
+    ids = np.concatenate(ids)
+    assert ids.tolist() == list(range(12))
+    direct = [st.coords.sum() for _, st in TrajectoryReader(two_trajs).iter_states()]
+    np.testing.assert_allclose(np.concatenate(sums), direct, rtol=1e-6)
+
+
+def test_window_pipeline_quantized_matches_plain(two_trajs):
+    @jax.jit
+    def window_fn(coords, boxes, invs, times):
+        if isinstance(coords, tuple):
+            ic, scale = coords
+            coords = ic.astype(jnp.float32) * scale
+        return coords
+
+    def collect(**kw):
+        out = []
+        for _, c in WindowPipeline(
+            TrajectoryReader(two_trajs), 4, window_fn, **kw
+        ).run():
+            out.append(np.asarray(c))
+        return np.concatenate(out)
+
+    # the conversion contract is BIT-exact per element (reductions may
+    # reassociate between differently-structured compiled programs)
+    np.testing.assert_array_equal(collect(quantized=True), collect())
+
+
+def test_analysis_task_hooks_and_add_time(two_trajs, structure):
+    class Count(AnalysisTask):
+        task_name = "count"
+
+        def pre_process(self, ctx):
+            self.times = []
+
+        def process_frame(self, ctx):
+            self.times.append(ctx.system.state.time)
+
+    t = Count()
+    ctx = t.run(["-f", structure, *two_trajs])
+    assert ctx.consumed_frames == 12
+    # second file restarts its clock at 0
+    assert t.times[7] == 0.0
+
+    t2 = Count()
+    t2.run(["-f", structure, *two_trajs, "--add-time"])
+    # non-decreasing across the file boundary (pymolar --add-time: the next
+    # file's clock restarts AT the previous end, like a continued run)
+    assert all(b >= a for a, b in zip(t2.times, t2.times[1:]))
+    assert t2.times[7] == 6.0 and t2.times[-1] == 10.0
+
+
+def test_window_analysis_task(two_trajs, structure):
+    class MeanZ(WindowAnalysisTask):
+        task_name = "meanz"
+
+        def build(self, system):
+            self.n = 0
+
+            @jax.jit
+            def fn(coords, boxes, invs, times):
+                return jnp.mean(coords[:, :, 2], axis=1)
+
+            return fn
+
+        def accumulate(self, ids, results):
+            self.n += len(ids)
+
+    t = MeanZ()
+    t.run(["-f", structure, *two_trajs, "--window", "5"])
+    assert t.n == 12
