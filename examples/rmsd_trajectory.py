@@ -41,10 +41,10 @@ def main() -> int:
 
     @jax.jit
     def window_fn(coords, boxes, invs, times):
-        def per_frame(_, c):
+        def per_frame(carry, c):
             s = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], axis=-1)
-            rmsd, _, _ = measure.fit_rmsd(s, ref, masses)
-            return _, rmsd
+            rmsd, _rot, _shift = measure.fit_rmsd(s, ref, masses)
+            return carry, rmsd
 
         _, rmsd = jax.lax.scan(per_frame, 0, coords)
         return rmsd

@@ -1,0 +1,72 @@
+"""Smoke tests: the example scripts run end-to-end (CPU, tiny inputs)."""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run(script, argv):
+    old = sys.argv
+    sys.argv = [script, *argv]
+    try:
+        with pytest.raises(SystemExit) as e:
+            runpy.run_path(script, run_name="__main__")
+        assert e.value.code in (0, None)
+    finally:
+        sys.argv = old
+
+
+@pytest.fixture()
+def small_traj(tmp_path, ref_data):
+    """protein.pdb + a 6-frame jittered XTC of it."""
+    from molar_tpu import System
+    from molar_tpu.io.xtc import XtcHandler
+
+    sys_ = System.from_file(str(ref_data / "protein.pdb"))
+    rng = np.random.default_rng(0)
+    p = tmp_path / "t.xtc"
+    w = XtcHandler(str(p), "w")
+    for k in range(6):
+        c = sys_.state.coords + rng.normal(0, 0.002, sys_.state.coords.shape).astype(
+            np.float32
+        )
+        w.write_raw(c, sys_.state.box.matrix, step=k, time=float(k))
+    w.close()
+    return str(ref_data / "protein.pdb"), str(p)
+
+
+def test_structure_report(ref_data, tmp_path, capsys):
+    obj = tmp_path / "m.obj"
+    _run(
+        "examples/structure_report.py",
+        [str(ref_data / "protein.pdb"), "--sel", "resid 545:560", "--obj", str(obj)],
+    )
+    out = capsys.readouterr().out
+    assert "SASA:" in out and "DSSP:" in out
+    assert obj.exists() and obj.read_text().startswith("# molar_tpu")
+
+
+def test_rmsd_trajectory(small_traj, capsys):
+    pdb, xtc = small_traj
+    _run(
+        "examples/rmsd_trajectory.py",
+        ["-f", pdb, xtc, "--sel", "name CA", "--window", "4"],
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 6
+    rmsds = [float(l.split("\t")[1]) for l in lines]
+    assert all(0 <= r < 0.05 for r in rmsds)  # tiny jitter -> tiny rmsd
+
+
+def test_contacts(small_traj, capsys):
+    pdb, xtc = small_traj
+    _run(
+        "examples/contacts.py",
+        ["-f", pdb, xtc, "--target", "resid 545:547", "--cutoff", "0.5",
+         "--window", "4"],
+    )
+    lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
+    assert len(lines) == 6
+    assert all(int(l.split("\t")[1]) > 0 for l in lines)
