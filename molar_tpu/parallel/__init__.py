@@ -1,4 +1,6 @@
 from .mesh import (
+    com_gyration_sharded,
+    frame_atom_mesh,
     frame_mesh,
     frame_sharding,
     replicated_sharding,
@@ -7,6 +9,8 @@ from .mesh import (
 )
 
 __all__ = [
+    "com_gyration_sharded",
+    "frame_atom_mesh",
     "frame_mesh",
     "frame_sharding",
     "replicated_sharding",

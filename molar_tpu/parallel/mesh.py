@@ -82,3 +82,59 @@ def pad_to_multiple(arrays, times, multiple: int):
         pad = np.repeat(a[-1:], rem, axis=0)
         out.append(np.concatenate([a, pad], axis=0))
     return tuple(out), valid
+
+
+# ---------------------------------------------------------------------------
+# 2-D (frames x atoms) sharding: systems too large for one chip's HBM
+# ---------------------------------------------------------------------------
+
+ATOMS = "atoms"
+
+
+def frame_atom_mesh(n_frame_devices: int, n_atom_devices: int) -> Mesh:
+    """2-D mesh: the frame axis is the embarrassingly parallel one; the atom
+    axis splits a single frame's coordinates across chips (for systems whose
+    (B, N, 3) window exceeds one chip's HBM) with `psum` reductions riding
+    ICI for per-frame observables."""
+    devs = jax.devices()
+    n = n_frame_devices * n_atom_devices
+    if n > len(devs):
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    grid = np.array(devs[:n]).reshape(n_frame_devices, n_atom_devices)
+    return Mesh(grid, axis_names=(FRAMES, ATOMS))
+
+
+def com_gyration_sharded(mesh: Mesh) -> Callable:
+    """Per-frame COM + radius of gyration over a (frames, atoms)-sharded
+    window: each chip reduces its local atom shard, `psum` over the atom
+    axis completes the moments (non-PBC variant; measure.rs:120-168).
+
+    Returns a jitted ``fn(coords (B, N, 3), masses (N,)) -> (com (B, 3),
+    gyration (B,))`` whose outputs are frame-sharded.
+    """
+    from functools import partial
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(FRAMES, ATOMS, None), P(ATOMS)),
+        out_specs=(P(FRAMES), P(FRAMES)),
+    )
+    def kernel(coords, masses):
+        # local shard: coords (B/nf, N/na, 3), masses (N/na,)
+        msum = jax.lax.psum(jnp.sum(masses), ATOMS)
+        # weighted coordinate sums, accumulated elementwise (MXU bf16 trap)
+        wsum = jax.lax.psum(
+            jnp.sum(coords * masses[None, :, None], axis=1), ATOMS
+        )
+        com = wsum / msum  # (B_local, 3), identical on every atom shard
+        d = coords - com[:, None, :]
+        g2 = jax.lax.psum(
+            jnp.sum(jnp.sum(d * d, axis=-1) * masses[None, :], axis=1), ATOMS
+        )
+        return com, jnp.sqrt(g2 / msum)
+
+    return jax.jit(kernel)

@@ -53,3 +53,28 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(a2[10:], np.repeat(a[-1:], 6, axis=0))
     (a3,), valid3 = pad_to_multiple((a[:8],), None, 8)
     assert a3.shape[0] == 8 and valid3.all()
+
+
+def test_frame_atom_mesh_com_gyration(mesh):
+    """2-D (frames x atoms) sharding: psum over the atom axis (SURVEY §2.7
+    'multi-chip' row; for frames too large for one chip's HBM)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from molar_tpu.parallel import com_gyration_sharded, frame_atom_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m2 = frame_atom_mesh(4, 2)
+    fn = com_gyration_sharded(m2)
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 5, (8, 64, 3)).astype(np.float32)
+    masses = rng.uniform(1, 16, 64).astype(np.float32)
+    cj = jax.device_put(coords, NamedSharding(m2, P("frames", "atoms")))
+    mj = jax.device_put(masses, NamedSharding(m2, P("atoms")))
+    com, gyr = jax.block_until_ready(fn(cj, mj))
+    want_com = (coords * masses[None, :, None]).sum(1) / masses.sum()
+    d = coords - want_com[:, None, :]
+    want_g = np.sqrt(((d * d).sum(-1) * masses).sum(1) / masses.sum())
+    np.testing.assert_allclose(np.asarray(com), want_com, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gyr), want_g, atol=1e-5)
+    assert len(com.sharding.device_set) == 8
