@@ -105,3 +105,30 @@ def test_group_api(tmp_path):
     assert memb.groups["upper"].lipid_ids == [0, 1]
     memb.reset_groups()
     assert memb.groups["upper"].lipid_ids == []
+
+
+def test_histogram1d(tmp_path):
+    """Fixed-range histogram (reference stats.rs:14-54)."""
+    from molar_tpu.membrane.vmd_visual import Histogram1D
+
+    h = Histogram1D(0.0, 1.0, 10)
+    h.add([0.05, 0.15, 0.15, 0.999, -0.1, 1.5])  # out-of-range dropped
+    assert h.bins.tolist() == [1, 2, 0, 0, 0, 0, 0, 0, 0, 1]
+    assert h.centers()[0] == pytest.approx(0.05)
+    h.normalize_density()
+    assert h.bins.sum() * 0.1 == pytest.approx(1.0)
+    p = tmp_path / "h.dat"
+    h.save(str(p))
+    assert len(p.read_text().splitlines()) == 10
+
+
+def test_running_stats_welford():
+    from molar_tpu.membrane.membrane import _RunningStats
+
+    rng = np.random.default_rng(0)
+    xs = rng.normal(3.0, 2.0, 500)
+    st = _RunningStats()
+    for x in xs:
+        st.add(x)
+    assert st.mean == pytest.approx(xs.mean(), rel=1e-9)
+    assert st.std == pytest.approx(xs.std(), rel=1e-6)  # population std
