@@ -70,3 +70,48 @@ def test_contacts(small_traj, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if "\t" in l]
     assert len(lines) == 6
     assert all(int(l.split("\t")[1]) > 0 for l in lines)
+
+
+def test_membrane_example(tmp_path, capsys):
+    from test_membrane import make_bilayer
+
+    from molar_tpu.io.xtc import XtcHandler
+
+    sys_ = make_bilayer()
+    # GRO keeps names only; rename the glycerol bead so masses re-guess from
+    # element names on reload (G guesses nothing -> zero mass).
+    sys_("name G").set_same_name("CG")
+    gro = tmp_path / "bilayer.gro"
+    sys_.save(str(gro))
+    xtc = tmp_path / "t.xtc"
+    w = XtcHandler(str(xtc), "w")
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        c = sys_.state.coords + rng.normal(0, 0.01, sys_.state.coords.shape).astype(
+            np.float32
+        )
+        w.write_raw(c, sys_.state.box.matrix, step=k, time=float(k))
+    w.close()
+    out = tmp_path / "out"
+    out.mkdir()
+    toml = tmp_path / "m.toml"
+    toml.write_text(
+        f"""
+sel = "all"
+cutoff = 2.0
+order_type = "scdcorr"
+output_dir = "{out}"
+groups = ["all"]
+
+[lipids.LIP]
+whole = "resname LIP"
+head = "name P"
+mid = "name CG"
+tails = ["C1-C2-C3-C4"]
+"""
+    )
+    _run(
+        "examples/membrane_curvature.py",
+        ["-f", str(gro), str(xtc), "--options", str(toml)],
+    )
+    assert "3 frames" in capsys.readouterr().out
