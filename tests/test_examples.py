@@ -115,3 +115,19 @@ tails = ["C1-C2-C3-C4"]
         ["-f", str(gro), str(xtc), "--options", str(toml)],
     )
     assert "3 frames" in capsys.readouterr().out
+
+
+def test_assign_ff_example(ref_data, capsys):
+    sdf = (
+        ref_data.parent.parent
+        / "molar_ff" / "tests" / "data" / "gaff_ref" / "sdf"
+        / "2-Hydroxyvaleric_acid.sdf"
+    )
+    if not sdf.exists():
+        import pytest
+
+        pytest.skip("gaff corpus not mounted")
+    _run("examples/assign_ff.py", [str(sdf)])
+    out = capsys.readouterr().out
+    assert "rings" in out and " oh " not in out.split("\n")[0]
+    assert any(" ho " in l for l in out.splitlines())
