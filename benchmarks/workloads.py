@@ -1,0 +1,313 @@
+#!/usr/bin/env python
+"""The five BASELINE.json config workloads, runnable end-to-end.
+
+    python benchmarks/workloads.py [--frames 64] [--atoms 50000] [--which all]
+
+1. ca_rmsd    — CA-RMSD Kabsch fit over a GRO+XTC stream (device window scan)
+2. com_splits — per-residue COM + gyration with PBC via segment reductions
+3. contacts   — protein-ligand contact lists per frame (fixed-capacity)
+4. sasa       — per-residue Shrake-Rupley SASA time series
+5. membrane   — leaflet split + order parameters (host pipeline per frame)
+
+Each prints a JSON line with frames/sec. Synthetic inputs by default so it
+runs anywhere; real systems via -f STRUCTURE XTC.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def _synth_system(n_atoms, n_protein, box_side=8.0, seed=0):
+    from molar_tpu import PeriodicBox, System
+    from molar_tpu.core.atom import Atom
+    from molar_tpu.core.state import State
+    from molar_tpu.core.topology import Topology
+
+    rng = np.random.default_rng(seed)
+    atoms = []
+    res = 0
+    # "protein": 4-atom residues with a CA each; ligand: last residue
+    for i in range(n_protein):
+        if i % 4 == 0:
+            res += 1
+        name = ["N", "CA", "C", "O"][i % 4]
+        atoms.append(Atom(name=name, resname="ALA", resid=res, atomic_number=6,
+                          mass=12.0))
+    for i in range(n_atoms - n_protein):
+        if i % 3 == 0:
+            res += 1
+        name = ["OW", "HW1", "HW2"][i % 3]
+        atoms.append(Atom(name=name, resname="SOL", resid=res,
+                          atomic_number=8 if name == "OW" else 1,
+                          mass=16.0 if name == "OW" else 1.0))
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    density = n_atoms / box_side**3
+    radius = (3 * n_protein / (4 * np.pi * density)) ** (1 / 3)
+    d = rng.normal(size=(n_protein, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r = radius * rng.uniform(0, 1, (n_protein, 1)) ** (1 / 3)
+    protein = (box_side / 2 + d * r).astype(np.float32)
+    water = rng.uniform(0, box_side, (n_atoms - n_protein, 3)).astype(np.float32)
+    st = State(coords=np.concatenate([protein, water]),
+               box=PeriodicBox(np.diag([box_side] * 3).astype(np.float32)))
+    return System(top, st)
+
+
+def _write_xtc(system, path, n_frames, sigma=0.01, seed=1):
+    from molar_tpu.io.xtc import XtcHandler
+
+    rng = np.random.default_rng(seed)
+    w = XtcHandler(path, "w")
+    c = system.state.coords.copy()
+    for k in range(n_frames):
+        c = c + rng.normal(0, sigma, c.shape).astype(np.float32)
+        w.write_raw(c, system.state.box.matrix, step=k, time=float(k))
+    w.close()
+
+
+def _windows(xtc, window):
+    from molar_tpu.tasks.trajectory import TrajectoryReader
+
+    return TrajectoryReader([xtc]).iter_windows(window)
+
+
+def wl_ca_rmsd(system, xtc, window):
+    import jax
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import measure
+
+    sel = system("name CA")
+    idx = jnp.asarray(sel.indices)
+    ref = jnp.asarray(sel.coords)
+    masses = jnp.asarray(sel.masses)
+
+    @jax.jit
+    def fn(coords, boxes, invs, times):
+        def per_frame(carry, c):
+            s = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
+            rmsd, _r, _s = measure.fit_rmsd(s, ref, masses)
+            return carry, rmsd
+        return jax.lax.scan(per_frame, 0, coords)[1]
+
+    n = 0
+    outs = []
+    t0 = time.perf_counter()
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        outs.append(fn(jax.device_put(coords), boxes, invs, times))
+        n += len(ids)
+    jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
+def wl_com_splits(system, xtc, window):
+    import jax
+    import jax.numpy as jnp
+
+    sel = system("resname ALA")
+    seg = jnp.asarray(sel.segment_ids())
+    nseg = int(seg[-1]) + 1
+    idx = jnp.asarray(sel.indices)
+    masses = jnp.asarray(sel.masses)
+    box = jnp.asarray(system.state.box.matrix)
+
+    @jax.jit
+    def fn(coords, boxes, invs, times):
+        def per_frame(carry, c):
+            x = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
+            msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
+            com = (
+                jax.ops.segment_sum(x * masses[:, None], seg, num_segments=nseg)
+                / msum[:, None]
+            )
+            d = x - com[seg]
+            g2 = jax.ops.segment_sum(
+                jnp.sum(d * d, -1) * masses, seg, num_segments=nseg
+            ) / msum
+            return carry, (com, jnp.sqrt(g2))
+        return jax.lax.scan(per_frame, 0, coords)[1]
+
+    n = 0
+    outs = []
+    t0 = time.perf_counter()
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        outs.append(fn(jax.device_put(coords), boxes, invs, times))
+        n += len(ids)
+    jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
+def wl_contacts(system, xtc, window, cutoff=0.4):
+    import jax
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import neighbor
+
+    prot = jnp.asarray(system("resname ALA").indices)
+    lig = jnp.asarray(system("name OW").indices[:50])  # stand-in ligand
+    box = jnp.asarray(system.state.box.matrix)
+    inv = jnp.asarray(system.state.box.inv)
+    dims = neighbor.grid_dims(system.state.box.box_extents(), cutoff)
+
+    @jax.jit
+    def fn(coords, boxes, invs, times):
+        def per_frame(carry, fr):
+            c, b, i = fr
+            pairs, dist, cnt, ofl = neighbor.contact_pairs(
+                c, prot, lig, cutoff=cutoff, box=b, inv=i, dims=dims,
+                cap=64, max_pairs=1 << 14,
+            )
+            return carry, (cnt, ofl)
+        return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
+
+    n = 0
+    outs = []
+    t0 = time.perf_counter()
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        outs.append(fn(jax.device_put(coords), boxes, invs, times))
+        n += len(ids)
+    jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
+def wl_sasa(system, xtc, window):
+    import jax
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import sasa as sasa_dev
+
+    sel = system("resname ALA")
+    radii = jnp.asarray(sel.topology.vdw()[sel.indices] + 0.14)
+    seg = jnp.asarray(sel.segment_ids())
+    nseg = int(seg[-1]) + 1
+    idx = sel.indices
+    # topology-stable neighbor matrix from frame 0; drift margin baked into
+    # the radii passed to the pair search (radii already include the probe)
+    nb, _ = sasa_dev.neighbor_matrix(
+        system.state.coords[idx], np.asarray(radii) + 0.15, cap=96
+    )
+    nbj = jnp.asarray(nb)
+
+    @jax.jit
+    def fn(coords):
+        def per_frame(carry, c):
+            x = jnp.stack(
+                [c[:, 0][jnp.asarray(idx)], c[:, 1][jnp.asarray(idx)],
+                 c[:, 2][jnp.asarray(idx)]], -1)
+            areas = sasa_dev.shrake_rupley(x, radii, nbj, n_points=240)
+            return carry, jax.ops.segment_sum(areas, seg, num_segments=nseg)
+        return jax.lax.scan(per_frame, 0, coords)[1]
+
+    n = 0
+    outs = []
+    t0 = time.perf_counter()
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        outs.append(fn(jax.device_put(coords)))
+        n += len(ids)
+    jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
+def wl_membrane(n_frames=8):
+    # tiny flat bilayer, host pipeline (frames shard across chips via the
+    # frame mesh in multi-chip deployments; single-process here)
+    from molar_tpu import PeriodicBox, System
+    from molar_tpu.core.atom import Atom
+    from molar_tpu.core.state import State
+    from molar_tpu.core.topology import Topology
+    from molar_tpu.membrane import Membrane
+
+    nx = ny = 6
+    spacing, z_mid = 0.8, 3.0
+    atoms, coords = [], []
+    rid = 0
+    for leaflet, zdir in ((0, 1.0), (1, -1.0)):
+        for i in range(nx):
+            for j in range(ny):
+                rid += 1
+                x, y = i * spacing, j * spacing
+                for k, nm in enumerate(["P", "G", "C1", "C2", "C3", "C4"]):
+                    atoms.append(Atom(name=nm, resname="LIP", resid=rid,
+                                      atomic_number=6, mass=12.0))
+                    coords.append([x, y, z_mid + zdir * (0.9 - 0.25 * k)])
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    st = State(coords=np.asarray(coords, np.float32),
+               box=PeriodicBox(np.diag([nx * spacing, ny * spacing, 6.0]).astype(np.float32)))
+    system = System(top, st)
+    outdir = tempfile.mkdtemp(prefix="membr_")
+    toml = f"""
+sel = "all"
+cutoff = 2.0
+order_type = "scdcorr"
+output_dir = "{outdir}"
+groups = ["all"]
+
+[lipids.LIP]
+whole = "resname LIP"
+head = "name P"
+mid = "name G"
+tails = ["C1-C2-C3-C4"]
+"""
+    memb = Membrane(system, toml)
+    memb.add_ids_to_group("all", range(len(memb.lipids)))
+    rng = np.random.default_rng(0)
+    base = system.state.coords.copy()
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        system.state.coords = base + rng.normal(0, 0.01, base.shape).astype(np.float32)
+        memb.compute()
+    memb.finalize()
+    return n_frames, time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-f", "--files", nargs=2, metavar=("STRUCTURE", "XTC"))
+    ap.add_argument("--atoms", type=int, default=50_000)
+    ap.add_argument("--protein", type=int, default=4_000)
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--which", default="all",
+                    choices=["all", "ca_rmsd", "com_splits", "contacts",
+                             "sasa", "membrane"])
+    args = ap.parse_args()
+
+    from molar_tpu import System
+
+    if args.files:
+        system = System.from_file(args.files[0])
+        xtc = args.files[1]
+    else:
+        system = _synth_system(args.atoms, args.protein)
+        xtc = os.path.join(tempfile.mkdtemp(prefix="molar_wl_"), "traj.xtc")
+        _write_xtc(system, xtc, args.frames)
+
+    jobs = {
+        "ca_rmsd": lambda: wl_ca_rmsd(system, xtc, args.window),
+        "com_splits": lambda: wl_com_splits(system, xtc, args.window),
+        "contacts": lambda: wl_contacts(system, xtc, args.window),
+        "sasa": lambda: wl_sasa(system, xtc, args.window),
+        "membrane": lambda: wl_membrane(),
+    }
+    out = {}
+    for name, job in jobs.items():
+        if args.which not in ("all", name):
+            continue
+        n, el = job()
+        out[name] = {"frames": n, "sec": round(el, 3),
+                     "fps": round(n / el, 2) if el > 0 else None}
+        print(json.dumps({name: out[name]}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
