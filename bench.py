@@ -91,7 +91,7 @@ def main() -> int:
     ap.add_argument("--atoms", type=int, default=100_000)
     ap.add_argument("--protein", type=int, default=5_000)
     ap.add_argument("--frames", type=int, default=256)
-    ap.add_argument("--window", type=int, default=32)
+    ap.add_argument("--window", type=int, default=64)
     ap.add_argument("--cutoff", type=float, default=0.5)
     ap.add_argument("--box", type=float, default=10.0)
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke test")
@@ -101,7 +101,7 @@ def main() -> int:
                     "H2D bytes, bit-exact vs the f32 decode). ~15%% faster "
                     "end-to-end measured back-to-back; --no-quantized for the "
                     "plain f32 path")
-    ap.add_argument("--repeats", type=int, default=2,
+    ap.add_argument("--repeats", type=int, default=3,
                     help="timed passes over the trajectory; best fps reported")
     ap.add_argument("--host-frames", type=int, default=2,
                     help="frames used to time the single-core host baseline")
