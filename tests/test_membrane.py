@@ -132,3 +132,21 @@ def test_running_stats_welford():
         st.add(x)
     assert st.mean == pytest.approx(xs.mean(), rel=1e-9)
     assert st.std == pytest.approx(xs.std(), rel=1e-6)  # population std
+
+
+def test_vmd_visualization_export(tmp_path):
+    """TCL export of markers/normals/Voronoi (reference vmd_visual.rs)."""
+    sys = make_bilayer()
+    toml = TOML.format(out=tmp_path)
+    from molar_tpu.membrane import Membrane
+
+    memb = Membrane(sys, toml)
+    n = len(memb.lipids)
+    memb.add_ids_to_group("upper", [i for i in range(n // 2)])
+    memb.add_ids_to_group("lower", [i for i in range(n // 2, n)])
+    memb.compute()
+    p = tmp_path / "vis.tcl"
+    memb.write_vmd_visualization(str(p))
+    txt = p.read_text()
+    assert "draw sphere" in txt and "draw cylinder" in txt
+    assert txt.count("draw sphere") >= n
