@@ -724,6 +724,12 @@ class Sel:
         with FileHandler(path, "w") as fh:
             fh.write(self.topology, self.state, indices=self.indices)
 
+    def set_state(self, state: State) -> State:
+        """Swap a new state into this selection's SYSTEM (shared by every
+        selection bound to it), returning the old one — the per-frame loop
+        of the reference python bindings (SelPy.set_state)."""
+        return self.system.set_state(state)
+
     def __rshift__(self, system: "System") -> "Sel":
         """``sel >> other_system``: rebind this selection's indices to another
         system (the reference's Shr operator sugar, system.rs:422-435)."""
@@ -788,6 +794,20 @@ class Particle:
     @pos.setter
     def pos(self, value) -> None:
         self.system.state.coords[self.index] = np.asarray(value, FLOAT)
+
+    def _coord(axis):  # noqa: N805 - tiny descriptor factory
+        def get(self):
+            return float(self.system.state.coords[self.index, axis])
+
+        def set(self, value):
+            self.system.state.coords[self.index, axis] = value
+
+        return property(get, set)
+
+    x = _coord(0)
+    y = _coord(1)
+    z = _coord(2)
+    del _coord
 
     # atom properties ---------------------------------------------------------
     @property

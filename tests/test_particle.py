@@ -68,3 +68,29 @@ def test_rshift_rebind(sys_, ref_data):
     sel2 = sel >> other  # system.rs:422-435 Shr sugar
     assert sel2.system is other
     assert len(sel2) == len(sel)
+
+
+def test_particle_xyz_and_negative_index(sys_):
+    sel = sys_("resid 545:600")
+    p = sel[-5]  # negative indexing (pymolar test5)
+    assert p.id == sel.indices[-5]
+    x0 = p.x
+    p.x = 42.0
+    assert sel[-5].x == pytest.approx(42.0) and sel[-5].x != x0
+    # pos returns a live view (pymolar test2)
+    pos = sel[0].pos
+    pos[1] += 1.0
+    assert sys_.state.coords[sel.indices[0], 1] == pytest.approx(pos[1])
+
+
+def test_sel_set_state(sys_, ref_data):
+    from molar_tpu.io import FileHandler
+
+    st2 = FileHandler(str(ref_data / "protein.pdb")).read_state()
+    st2.time = 100.0
+    sel = sys_("name CA")
+    old = sel.set_state(st2)
+    assert sys_.state.time == 100.0
+    assert old.time != 100.0
+    # every selection bound to the system sees the new state
+    assert sys_("name CB").state.time == 100.0
