@@ -190,6 +190,20 @@ class System:
         if self.state.forces is not None:
             self.state.forces = self.state.forces[idx]
 
+    def replace_state_deep(self, state: State) -> None:
+        """Swap state CONTENTS with the currently-held state object
+        (reference replace_state_deep): every existing reference to the old
+        State object — including `state` itself — observes the exchange."""
+        if state.n_atoms != self.n_atoms:
+            raise SelectionError(
+                f"state has {state.n_atoms} atoms, system has {self.n_atoms}"
+            )
+        cur = self.state
+        for f in ("coords", "velocities", "forces", "time", "box", "step"):
+            a, b = getattr(cur, f), getattr(state, f)
+            setattr(cur, f, b)
+            setattr(state, f, a)
+
     def set_box_from(self, other: "System") -> None:
         """Copy the periodic box from another system (system.rs set_box_from).
 
@@ -302,9 +316,20 @@ class Sel:
     def state(self) -> State:
         return self.system.state
 
+    @state.setter
+    def state(self, st: State) -> None:
+        # assigning through any bound selection swaps the SYSTEM state
+        # (pymolar `sel.state = st` per-frame idiom)
+        self.system.set_state(st)
+
     @property
     def coords(self) -> np.ndarray:
-        """(n, 3) coordinate copy (Python-binding semantics: get_coords)."""
+        """(n, 3) coordinate copy.
+
+        Divergence note: the reference python binding returns the transposed
+        (3, n) layout (selection.rs get_coords); row-per-atom is the numpy
+        idiom, so this API keeps (n, 3). Transpose with ``.T`` for parity.
+        """
         return self.state.coords[self.indices].copy()
 
     @coords.setter

@@ -94,3 +94,24 @@ def test_sel_set_state(sys_, ref_data):
     assert old.time != 100.0
     # every selection bound to the system sees the new state
     assert sys_("name CB").state.time == 100.0
+
+
+def test_state_property_setter_and_replace_deep(sys_, ref_data):
+    from molar_tpu.io import FileHandler
+
+    st2 = FileHandler(str(ref_data / "protein.pdb")).read_state()
+    st2.time = 100.0
+    st1 = sys_.state
+    t1 = st1.time
+    sel1 = sys_("name CA")
+    sel1.state = st2  # property assignment swaps the system state
+    assert sys_.state.time == 100.0 and st1.time == t1  # st1 untouched
+
+    # replace_state_deep swaps CONTENTS: old references observe the change
+    st3 = FileHandler(str(ref_data / "protein.pdb")).read_state()
+    st3.time = 777.0
+    held = sys_.state
+    sys_.replace_state_deep(st3)
+    assert held.time == 777.0  # the held object itself changed
+    assert sys_.state is held
+    assert st3.time == 100.0  # and got the old contents
