@@ -404,6 +404,14 @@ class Membrane:
         )
         gr._init_stats()
 
+    # reference python-binding name (membrane_order.py workflow)
+    add_lipids_to_group = add_ids_to_group
+
+    def set_state(self, state) -> None:
+        """Swap a new frame into the analyzed system (reference
+        Membrane.set_state); call before :meth:`compute` per frame."""
+        self.system.set_state(state)
+
     def reset_groups(self) -> None:
         for gr in self.groups.values():
             gr.lipid_ids.clear()
