@@ -417,7 +417,9 @@ class AnalysisTask:
     task_name = "analysis"
 
     def add_args(self, parser: argparse.ArgumentParser) -> None:
-        pass
+        # reference python-binding hook name is register_args; honor both
+        if hasattr(self, "register_args"):
+            self.register_args(parser)
 
     def pre_process(self, ctx: AnalysisContext) -> None:
         pass
@@ -437,6 +439,10 @@ class AnalysisTask:
             raise AnalysisError("need a structure file")
         structure, *trajectories = args.files
         system = System.from_file(structure)
+        # pymolar-compatible attributes: self.src (system), self.args, and
+        # self.state updated per frame (molar_python/python/pymolar).
+        self.src = system
+        self.args = args
         reader = TrajectoryReader(
             trajectories or [structure],
             begin=FrameSpec.parse(args.begin),
@@ -459,6 +465,7 @@ class AnalysisTask:
                     f"frame has {st.n_atoms} atoms, system has {system.n_atoms}"
                 )
             system.set_state(st)
+            self.state = st
             self.process_frame(ctx)
             ctx.consumed_frames += 1
             if args.log_every and ctx.consumed_frames % args.log_every == 0:

@@ -157,3 +157,26 @@ def test_window_analysis_task(two_trajs, structure):
     t = MeanZ()
     t.run(["-f", structure, *two_trajs, "--window", "5"])
     assert t.n == 12
+
+
+def test_pymolar_compat_hooks(two_trajs, structure):
+    """register_args hook name + self.src/self.state/self.args attributes
+    (molar_python/python/pymolar AnalysisTask compatibility)."""
+
+    class Legacy(AnalysisTask):
+        task_name = "legacy"
+
+        def register_args(self, parser):
+            parser.add_argument("--thr", type=float, default=1.0)
+
+        def pre_process(self, ctx):
+            assert self.src is ctx.system
+            assert self.args.thr == 2.5
+            self.seen = []
+
+        def process_frame(self, ctx):
+            self.seen.append(self.state.time)
+
+    t = Legacy()
+    t.run(["-f", structure, two_trajs[0], "--thr", "2.5"])
+    assert len(t.seen) == 7
