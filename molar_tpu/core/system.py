@@ -150,6 +150,10 @@ class System:
                 else np.zeros((add.n_atoms, 3), FLOAT)
             )
             self.state.velocities = np.concatenate([self.state.velocities, v])
+        if self.state.forces is not None:
+            self.state.forces = np.concatenate(
+                [self.state.forces, np.zeros((add.n_atoms, 3), FLOAT)]
+            )
 
     def append(self, what: Union["System", "Sel"]) -> None:
         """Append a System or a Sel — including a selection of this same
@@ -160,14 +164,20 @@ class System:
         self.append_system(what)
 
     def append_system(self, other: "System") -> None:
+        n_add = other.n_atoms
         self.topology = self.topology.concat(other.topology)
         self.state.coords = np.concatenate([self.state.coords, other.state.coords])
-        if self.state.velocities is not None and other.state.velocities is not None:
-            self.state.velocities = np.concatenate(
-                [self.state.velocities, other.state.velocities]
-            )
-        else:
-            self.state.velocities = None
+        # Optional per-atom arrays keep self's presence: appended atoms
+        # without data are zero-padded rather than silently dropping the
+        # whole column (keeps remove()/keep() indexing aligned).
+        for field in ("velocities", "forces"):
+            mine = getattr(self.state, field)
+            if mine is None:
+                continue
+            theirs = getattr(other.state, field)
+            if theirs is None:
+                theirs = np.zeros((n_add, 3), FLOAT)
+            setattr(self.state, field, np.concatenate([mine, theirs]))
 
     def remove(self, seldef: SelectionDef) -> None:
         idx = self._resolve_def(seldef)
@@ -235,6 +245,10 @@ class System:
             tops = tops.concat(base_top)
             coords.append(base_coords + shift)
         self.topology = tops
+        # Re-run resindex assignment over the tiled topology: raw concat
+        # repeats each tile's resindex values, which breaks per-residue
+        # filtering downstream (reference system.rs:312-340 does the same).
+        self.topology.assign_resindex()
         self.state.coords = np.concatenate(coords)
         self.state.velocities = None
         self.state.forces = None

@@ -412,6 +412,13 @@ class AnalysisTask:
     molar_python/python/pymolar/__init__.py:26-146). ``run()`` parses the
     standard flags, streams frames, swaps each into the system, and calls the
     hooks with progress logging every ``--log`` frames.
+
+    Hooks may take either zero arguments (verbatim pymolar tasks, e.g.
+    ``def pre_process(self):``) or an ``AnalysisContext``; the signature is
+    inspected per hook. Matching pymolar, ``pre_process`` fires when the
+    FIRST trajectory frame arrives — with ``self.state`` set and ``self.src``
+    already holding frame-1 coordinates — not before streaming, so hooks
+    reading frame-1 geometry see the right state.
     """
 
     task_name = "analysis"
@@ -429,6 +436,31 @@ class AnalysisTask:
 
     def post_process(self, ctx: AnalysisContext) -> None:
         pass
+
+    def _call_hook(self, name: str, ctx: AnalysisContext) -> None:
+        """Invoke a user hook with ctx, or zero-arg pymolar-style.
+
+        Reference pymolar tasks define ``def pre_process(self):`` etc.
+        (molar_python/python/pymolar/__init__.py:133-146); the native harness
+        passes an AnalysisContext. Both spellings are accepted by inspecting
+        the bound hook's positional arity.
+        """
+        import inspect
+
+        fn = getattr(self, name)
+        try:
+            params = [
+                p
+                for p in inspect.signature(fn).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+            ]
+        except (TypeError, ValueError):
+            params = [None]
+        if params:
+            fn(ctx)
+        else:
+            fn()
 
     def run(self, argv: Optional[Sequence[str]] = None) -> AnalysisContext:
         parser = build_arg_parser(self.task_name)
@@ -450,7 +482,6 @@ class AnalysisTask:
             skip=args.skip,
         )
         ctx = AnalysisContext(system=system, consumed_frames=0, args=args)
-        self.pre_process(ctx)
         t0 = _time.perf_counter()
         time_offset = 0.0
         last_time = None
@@ -466,7 +497,11 @@ class AnalysisTask:
                 )
             system.set_state(st)
             self.state = st
-            self.process_frame(ctx)
+            if ctx.consumed_frames == 0:
+                # pymolar semantics: pre_process fires with the first frame
+                # already swapped in (self.src holds frame-1 coordinates).
+                self._call_hook("pre_process", ctx)
+            self._call_hook("process_frame", ctx)
             ctx.consumed_frames += 1
             if args.log_every and ctx.consumed_frames % args.log_every == 0:
                 el = _time.perf_counter() - t0
@@ -476,5 +511,5 @@ class AnalysisTask:
                     st.time,
                     ctx.consumed_frames / el,
                 )
-        self.post_process(ctx)
+        self._call_hook("post_process", ctx)
         return ctx

@@ -125,6 +125,39 @@ def test_solvate(tmp_path):
     assert rc == 0
     solvated = System.from_file(str(out))
     assert solvated.n_atoms > 4
+    # Independently compute the expected water count: brute-force replicate
+    # the two solvate filters (whole residue inside box; no vdW overlap with
+    # the solute, min-image) over the tiled candidates. Catches the
+    # multiply_periodically resindex bug (repeated resindex values deleted
+    # each bad residue's counterpart in EVERY tile).
+    wat = System.from_file(str(solvent))
+    lig_sys = System.from_file(str(solute))
+    side_w, side_l = 1.86, 3.0
+    vdw_w = wat.topology.vdw()
+    vdw_l = lig_sys.topology.vdw()
+    expected = 0
+    for i in range(2):
+        for j in range(2):
+            for k in range(2):
+                shift = np.array([i, j, k]) * side_w
+                c = wat.state.coords + shift
+                for r in np.unique(wat.topology.resindex):
+                    rc_ = c[wat.topology.resindex == r]
+                    frac = rc_ / side_l
+                    if not ((frac >= 0) & (frac < 1)).all():
+                        continue
+                    d = rc_[:, None, :] - lig_sys.state.coords[None, :, :]
+                    d -= side_l * np.round(d / side_l)
+                    dist = np.sqrt((d**2).sum(-1))
+                    lim = (
+                        vdw_w[wat.topology.resindex == r][:, None] + vdw_l[None, :]
+                    )
+                    if (dist <= lim + 1e-6).any():
+                        continue
+                    expected += 1
+    n_waters = len(np.unique(solvated("resname SOL").resindices))
+    assert n_waters == expected
+    assert expected > 100  # sanity: most of the 512 candidates survive
     # Waters exist, none vdw-overlap the solute.
     w = solvated("resname SOL")
     lig = solvated("resname LIG")

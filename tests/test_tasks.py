@@ -180,3 +180,33 @@ def test_pymolar_compat_hooks(two_trajs, structure):
     t = Legacy()
     t.run(["-f", structure, two_trajs[0], "--thr", "2.5"])
     assert len(t.seen) == 7
+
+
+def test_pymolar_zero_arg_hooks_and_first_frame_pre_process(two_trajs, structure):
+    """Verbatim pymolar tasks use zero-arg hooks, and pre_process fires with
+    the first trajectory frame already swapped in (self.state set, self.src
+    holding frame-1 coordinates — molar_python/python/pymolar __init__.py:96-101)."""
+
+    class Verbatim(AnalysisTask):
+        task_name = "verbatim"
+
+        def pre_process(self):
+            # self.state must be the first trajectory frame, not unset.
+            self.first_time = self.state.time
+            # self.src must hold frame-1 coords (nonzero, unlike s.gro).
+            self.src_coords_at_pre = self.src.state.coords.copy()
+            self.n = 0
+
+        def process_frame(self):
+            self.n += 1
+
+        def post_process(self):
+            self.done = True
+
+    t = Verbatim()
+    t.run(["-f", structure, two_trajs[0]])
+    assert t.first_time == 0.0
+    assert t.n == 7  # process_frame also runs on the first frame
+    assert t.done
+    # structure file has all-zero coords; frame 1 does not
+    assert np.abs(t.src_coords_at_pre).sum() > 0
