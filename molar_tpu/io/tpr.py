@@ -70,6 +70,35 @@ def _declare(lib: ctypes.CDLL) -> None:
         getattr(lib, name).argtypes = [c_p]
     lib.cpt_time.restype = ctypes.c_double
     lib.cpt_time.argtypes = [c_p]
+    # Every remaining entry point takes the opaque handle first; without an
+    # explicit c_void_p argtype ctypes would pass the Python int as a C int,
+    # truncating 64-bit pointers (segfault caught by the mock-.so test).
+    for name in ("tpr_close", "cpt_close"):
+        getattr(lib, name).restype = None
+        getattr(lib, name).argtypes = [c_p]
+    for name in ("cpt_has_velocities", "cpt_has_forces"):
+        getattr(lib, name).restype = ctypes.c_int
+        getattr(lib, name).argtypes = [c_p]
+    for name in (
+        "tpr_get_names",
+        "tpr_get_resnames",
+        "tpr_get_type_names",
+        "tpr_get_resid",
+        "tpr_get_type_id",
+        "tpr_get_atomic_number",
+        "tpr_get_charge",
+        "tpr_get_mass",
+        "tpr_get_bonds",
+        "tpr_get_molecules",
+        "tpr_get_coords",
+        "tpr_get_box",
+        "cpt_get_coords",
+        "cpt_get_velocities",
+        "cpt_get_forces",
+        "cpt_get_box",
+    ):
+        getattr(lib, name).restype = None
+        getattr(lib, name).argtypes = [c_p, c_p]
 
 
 def _np_out(lib_fn, handle, arr: np.ndarray) -> np.ndarray:

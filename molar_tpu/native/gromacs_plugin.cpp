@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <filesystem>
 #include <string>
 #include <vector>
 
@@ -90,7 +91,7 @@ void* tpr_open(const char* path) {
     for (const AtomProxy atomP : AtomRange(mtop)) {
       const t_atom& a = atomP.atom();
       copy8(h->names, i, atomP.atomName());
-      copy8(h->resnames, i, *mtop.moltype[0].atoms.resinfo[0].name ? atomP.residueName() : atomP.residueName());
+      copy8(h->resnames, i, atomP.residueName());
       copy8(h->type_names, i, atomP.atomType());
       h->resid[i] = atomP.residueNumber();
       h->type_id[i] = a.type;

@@ -1,0 +1,2 @@
+#pragma once
+#include "../gmx_stub_core.h"
