@@ -60,30 +60,64 @@ def make_trajectory(path: str, coords0: np.ndarray, box: np.ndarray, n_frames: i
     w.close()
 
 
-def _measure_caps(xtc_path, box, tgt_idx, cutoff, dims):
-    """Host pass over the trajectory: true max cell occupancy for sources
-    (all atoms) and targets, plus the max number of occupied target cells."""
+def _estimate_caps(xtc_path, box, tgt_idx, dims):
+    """Frame-0 cell-occupancy estimate (density estimate) for the capacity
+    tiers. NOT a trajectory pre-pass: streaming workloads can't afford one —
+    drift beyond the safety margin is absorbed by the overflow-retry loop
+    (tasks.trajectory.run_with_overflow_retry)."""
     from molar_tpu.io.xtc import XtcHandler
-    from molar_tpu.ops import neighbor
 
     nx, ny, nz = dims
     inv = box.inv
     h = XtcHandler(xtc_path, "r")
-    coords, _, _ = h.read_frames(0, h.n_frames, None)
+    c0 = h.read_frame(0).coords
     h.close()
-    max_all = max_tgt = need_cells = 0
-    for f in range(coords.shape[0]):
-        frac = (coords[f] @ inv.T) % 1.0
-        cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
-        cy = np.minimum((frac[:, 1] * ny).astype(np.int64), ny - 1)
-        cz = np.minimum((frac[:, 2] * nz).astype(np.int64), nz - 1)
-        cell = (cx * ny + cy) * nz + cz
-        cnt = np.bincount(cell, minlength=nx * ny * nz)
-        max_all = max(max_all, int(cnt.max()))
-        tc = np.bincount(cell[tgt_idx], minlength=nx * ny * nz)
-        max_tgt = max(max_tgt, int(tc.max()))
-        need_cells = max(need_cells, int((tc > 0).sum()))
-    return max_all, max_tgt, need_cells
+    frac = (c0 @ inv.T) % 1.0
+    cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
+    cy = np.minimum((frac[:, 1] * ny).astype(np.int64), ny - 1)
+    cz = np.minimum((frac[:, 2] * nz).astype(np.int64), nz - 1)
+    cell = (cx * ny + cy) * nz + cz
+    cnt = np.bincount(cell, minlength=nx * ny * nz)
+    tc = np.bincount(cell[tgt_idx], minlength=nx * ny * nz)
+    return int(cnt.max()), int(tc.max()), int((tc > 0).sum())
+
+
+def _native_baseline_fps(xtc_path, n_sel, cutoff, max_frames=None):
+    """Build (once) and run the single-core C++ reimplementation of the
+    reference workload (benchmarks/native_baseline.cpp) — the measured
+    stand-in for single-core MolAR (no Rust toolchain / no PyPI access in
+    this environment). Returns (fps, within0) or (None, None) if g++ is
+    unavailable."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        return None, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "benchmarks", "native_baseline.cpp")
+    codec = os.path.join(here, "molar_tpu", "native", "xtc_codec.cpp")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "molar_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    exe = os.path.join(cache, "native_baseline")
+    if (
+        not os.path.exists(exe)
+        or os.path.getmtime(exe) < os.path.getmtime(src)
+        or os.path.getmtime(exe) < os.path.getmtime(codec)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", src, codec, "-o", exe],
+            check=True,
+            capture_output=True,
+        )
+    cmd = [exe, xtc_path, str(n_sel), str(cutoff)]
+    if max_frames:
+        cmd.append(str(max_frames))
+    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    r = json.loads(out.stdout)
+    return float(r["fps"]), int(r["within0"])
 
 
 def main() -> int:
@@ -95,6 +129,9 @@ def main() -> int:
     ap.add_argument("--cutoff", type=float, default=0.5)
     ap.add_argument("--box", type=float, default=10.0)
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke test")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (smoke tests; the axon "
+                    "TPU plugin ignores JAX_PLATFORMS so this must be a flag)")
     ap.add_argument("--quantized", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="ship XTC windows as raw i16 quantized ints (half the "
@@ -110,6 +147,9 @@ def main() -> int:
         args.atoms, args.protein, args.frames, args.window = 5000, 500, 32, 8
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: the window program compiles in minutes on
     # a remote-tunnel backend; cache it across runs.
@@ -127,7 +167,10 @@ def main() -> int:
     from molar_tpu.core.pbc import PBC_FULL, PeriodicBox
     from molar_tpu.io.xtc import XtcHandler
     from molar_tpu.ops import measure, measure_host, neighbor, neighbor_host
-    from molar_tpu.tasks.trajectory import TrajectoryReader, WindowPipeline
+    from molar_tpu.tasks.trajectory import (
+        TrajectoryReader,
+        run_with_overflow_retry,
+    )
 
     box = PeriodicBox(np.diag([args.box] * 3).astype(np.float32))
     coords0, masses = make_system(args.atoms, args.protein, args.box)
@@ -146,92 +189,114 @@ def main() -> int:
           file=sys.stderr)
 
     dims = neighbor.grid_dims(box.box_extents(), args.cutoff)
-    # Size the fixed cell capacities from the actual data (the documented
-    # overflow-retry contract, resolved up front): one host pass over the
-    # trajectory measures true max occupancy; round up to multiples of 8 so
-    # the static shapes (and the compilation cache key) stay stable run-to-run.
-    cap, tcap, need_cells = _measure_caps(
-        xtc_path, box, protein_idx, args.cutoff, dims
-    )
-    cap = (cap + 2 + 7) // 8 * 8
-    tcap = (tcap + 2 + 7) // 8 * 8
-    max_tgt_cells = max(512, (int(need_cells * 1.25) + 255) // 256 * 256)
-    print(f"# caps: cap={cap} tcap={tcap} tgt_cells={max_tgt_cells}", file=sys.stderr)
+    # Frame-0 occupancy + ~20% diffusion margin sizes tier 0; overflow
+    # escalates through run_with_overflow_retry tiers (x1.5 per tier).
+    # Rounding to multiples of 8 keeps the static shapes (and the XLA
+    # compilation cache key) stable run-to-run.
+    cap0, tcap0, need_cells0 = _estimate_caps(xtc_path, box, protein_idx, dims)
+
+    def caps_for(tier: int):
+        g = 1.5**tier
+        cap = (int(cap0 * 1.2 * g) + 2 + 7) // 8 * 8
+        tcap = (int(tcap0 * 1.2 * g) + 2 + 7) // 8 * 8
+        cells = max(512, (int(need_cells0 * 1.25 * g) + 255) // 256 * 256)
+        return cap, tcap, cells
+
+    cap, tcap, max_tgt_cells = caps_for(0)
+    print(f"# caps tier0: cap={cap} tcap={tcap} tgt_cells={max_tgt_cells}",
+          file=sys.stderr)
 
     ref_j = jnp.asarray(ref_coords)
     pm_j = jnp.asarray(pmasses)
     pidx_j = jnp.asarray(protein_idx)
     aidx_j = jnp.asarray(all_idx)
 
-    @jax.jit
-    def window_fn(coords, boxes, invs, times):
-        if isinstance(coords, tuple):
-            # Quantized transfer: XTC's raw ints x scale reproduces the f32
-            # decode bit-exactly at half the H2D bytes (the tunnel is the
-            # bottleneck wire, ~40 MB/s sustained).
-            icoords, scale = coords
-            coords = icoords.astype(jnp.float32) * scale
-        def per_frame(carry, frame):
-            c, b, i = frame
-            # Per-component gather: a (n,3) row gather costs ~2 min of XLA
-            # compile on TPU; three 1-D gathers compile in <1 s.
-            sel = jnp.stack(
-                [c[:, 0][pidx_j], c[:, 1][pidx_j], c[:, 2][pidx_j]], axis=-1
-            )
-            rmsd, _, _ = measure.fit_rmsd(sel, ref_j, pm_j)
-            mask, overflow = neighbor.within_mask(
-                c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
-                dims=dims, cap=cap, tgt_cap=tcap, max_tgt_cells=max_tgt_cells,
-            )
-            return carry, (rmsd, jnp.sum(mask), overflow)
+    def build_fn(tier: int):
+        cap, tcap, max_tgt_cells = caps_for(tier)
+        if tier:
+            print(f"# caps tier{tier}: cap={cap} tcap={tcap} "
+                  f"tgt_cells={max_tgt_cells}", file=sys.stderr)
 
-        # lax.scan over the window: one compiled frame body instead of a
-        # B-wide vmapped graph (which took >10 min of XLA compile at B=32;
-        # the per-frame kernel already saturates the chip, so sequential
-        # frames lose no throughput).
-        _, (rmsd, cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
-        return rmsd, cnt, ofl
+        @jax.jit
+        def window_fn(coords, boxes, invs, times):
+            if isinstance(coords, tuple):
+                # Quantized transfer: XTC's raw ints x scale reproduces the
+                # f32 decode bit-exactly at half the H2D bytes (the tunnel is
+                # the bottleneck wire, ~40 MB/s sustained).
+                icoords, scale = coords
+                coords = icoords.astype(jnp.float32) * scale
+
+            def per_frame(carry, frame):
+                c, b, i = frame
+                # Per-component gather: a (n,3) row gather costs ~2 min of
+                # XLA compile on TPU; three 1-D gathers compile in <1 s.
+                sel = jnp.stack(
+                    [c[:, 0][pidx_j], c[:, 1][pidx_j], c[:, 2][pidx_j]], axis=-1
+                )
+                rmsd, _, _ = measure.fit_rmsd(sel, ref_j, pm_j)
+                mask, overflow = neighbor.within_mask(
+                    c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
+                    dims=dims, cap=cap, tgt_cap=tcap,
+                    max_tgt_cells=max_tgt_cells,
+                )
+                return carry, (rmsd, jnp.sum(mask), overflow)
+
+            # lax.scan over the window: one compiled frame body instead of a
+            # B-wide vmapped graph (which took >10 min of XLA compile at
+            # B=32; the per-frame kernel already saturates the chip, so
+            # sequential frames lose no throughput).
+            _, (rmsd, cnt, ofl) = jax.lax.scan(
+                per_frame, 0, (coords, boxes, invs)
+            )
+            return rmsd, cnt, ofl
+
+        return window_fn
 
     reader = TrajectoryReader([xtc_path])
 
-    # Warmup: compile on the first window shape.
+    # Warmup: compile tier 0 on the first window shape.
+    window_fn0 = build_fn(0)
     first = next(iter(reader.iter_windows(args.window)))
-    _ = jax.block_until_ready(window_fn(*(jnp.asarray(x) for x in first[:4])))
+    _ = jax.block_until_ready(window_fn0(*(jnp.asarray(x) for x in first[:4])))
     print("# compiled", file=sys.stderr)
 
     # Best-of-N timed passes: the tunnel's transfer bandwidth is shared and
     # erratic (identical runs measured 19-34 fps); best-of reflects the
-    # pipeline, not a congestion draw.
+    # pipeline, not a congestion draw. Each pass streams at tier 0 and
+    # re-runs any overflowed window at escalated capacity tiers (retry time
+    # included in the pass's clock — it is real work).
+    built = {0: window_fn0}
+
+    def cached_build(tier):
+        if tier not in built:
+            built[tier] = build_fn(tier)
+        return built[tier]
+
     fps = 0.0
     for rep in range(max(args.repeats, 1)):
-        pipeline = WindowPipeline(
-            reader, args.window, window_fn, quantized=args.quantized
-        )
         t0 = time.perf_counter()
-        n_done = 0
-        rmsds = []
-        counts = []
-        ofls = []
-        # Keep results as device arrays and sync ONCE at the end: a per-window
-        # block_until_ready pays a full dispatch round-trip per window (severe
-        # through a remote-tunnel backend), serializing the pipeline.
-        for ids, (rmsd, cnt, ofl) in pipeline.run():
-            n_done += len(ids)
-            rmsds.append(rmsd)
-            counts.append(cnt)
-            ofls.append(ofl)
-        jax.block_until_ready(rmsds[-1])
-        rmsds = [np.asarray(r) for r in rmsds]
-        counts = [np.asarray(c) for c in counts]
-        overflowed = any(bool(np.asarray(o).any()) for o in ofls)
+        results, retried = run_with_overflow_retry(
+            reader, args.window, cached_build, n_tiers=4,
+            overflow_of=lambda r: r[2], quantized=args.quantized,
+        )
         elapsed = time.perf_counter() - t0
+        n_done = sum(len(ids) for ids, _ in results)
+        rmsds = [np.asarray(r[0]) for _, r in results]
+        counts = [np.asarray(r[1]) for _, r in results]
         fps = max(fps, n_done / elapsed)
-        print(f"# device loop {rep}: {n_done} frames in {elapsed:.2f}s", file=sys.stderr)
-        if overflowed:
-            print("# WARNING: cell capacity overflow — results invalid", file=sys.stderr)
-            break
+        print(f"# device loop {rep}: {n_done} frames in {elapsed:.2f}s "
+              f"({retried} windows retried)", file=sys.stderr)
+    overflowed = False
 
-    # Host single-core baseline on a few frames of the same work.
+    # Single-core native baseline: C++ reimplementation of the reference's
+    # own per-frame algorithm (decode + Kabsch + half-stencil cell search),
+    # the measured denominator for the 50x north star. Runs strictly after
+    # the device loop (single host core — CLAUDE.md contention rule).
+    native_fps, native_within0 = _native_baseline_fps(
+        xtc_path, args.protein, args.cutoff
+    )
+
+    # Secondary: single-core numpy host baseline on a few frames.
     h = XtcHandler(xtc_path)
     n_host = min(args.host_frames, h.n_frames)
     t0 = time.perf_counter()
@@ -253,13 +318,22 @@ def main() -> int:
     )
     dev_count = int(counts[0][0])
     parity = abs(dev_count - len(host_within))
+    native_parity = (
+        abs((native_within0 or 0) - len(host_within)) if native_fps else None
+    )
     print(
-        f"# device fps={fps:.2f} host(1-core) fps={host_fps:.2f} "
+        f"# device fps={fps:.2f} native(1-core C++) fps={native_fps} "
+        f"numpy(1-core) fps={host_fps:.2f} "
         f"mean_rmsd={np.concatenate(rmsds).mean():.4f} "
-        f"within0={dev_count} host_within0={len(host_within)} parity_diff={parity}",
+        f"within0={dev_count} host_within0={len(host_within)} "
+        f"parity_diff={parity} native_parity_diff={native_parity}",
         file=sys.stderr,
     )
 
+    # vs_baseline uses the MEASURED single-core native baseline (the honest
+    # stand-in for single-core MolAR); the numpy figure is reported alongside
+    # for continuity with round 1.
+    denom = native_fps if native_fps else host_fps
     print(
         json.dumps(
             {
@@ -267,11 +341,17 @@ def main() -> int:
                 f"{args.atoms // 1000}k-atom system",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / host_fps, 2),
+                "vs_baseline": round(fps / denom, 2),
+                "baseline_native_1core_fps": round(native_fps, 2)
+                if native_fps
+                else None,
+                "baseline_numpy_1core_fps": round(host_fps, 2),
+                "windows_retried": retried,
             }
         )
     )
-    return 0 if parity == 0 and not overflowed else 1
+    ok = parity == 0 and not overflowed and (native_parity in (0, None))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

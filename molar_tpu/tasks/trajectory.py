@@ -336,6 +336,85 @@ class WindowPipeline:
         t.join()
 
 
+def run_with_overflow_retry(
+    reader: TrajectoryReader,
+    window: int,
+    build_fn: Callable[[int], Callable],
+    n_tiers: int = 3,
+    overflow_of: Callable = None,
+    quantized: bool = False,
+    n_threads: Optional[int] = None,
+):
+    """Stream windows through tier-0's window_fn; re-run overflowed windows
+    at higher capacity tiers (the fixed-capacity + retry contract,
+    ops/neighbor.py static-shape notes).
+
+    ``build_fn(tier)`` returns the jitted window function for capacity tier
+    ``tier`` (0-based; each tier must enlarge whatever static capacities the
+    search uses). ``overflow_of(result)`` extracts the window's overflow
+    flag(s) (anything ``np.any``-able) from a result pytree.
+
+    The first pass never blocks per window (a per-window sync would pay a
+    dispatch round-trip through remote-tunnel backends, serializing the
+    pipeline): overflow flags stay on device and are checked once after the
+    pass, then only the flagged windows are re-read (by frame range, skip
+    phase preserved) and re-executed at the next tier, escalating until
+    clean. Raises AnalysisError if the last tier still overflows.
+
+    Returns (results, retried_window_count) with ``results`` a list of
+    (frame_ids, result) in stream order, overflowed windows replaced by
+    their clean re-runs.
+    """
+    import jax
+
+    if overflow_of is None:
+        raise ValueError("overflow_of extractor is required")
+
+    fn0 = build_fn(0)
+    results: list = []
+    pipeline = WindowPipeline(
+        reader, window, fn0, quantized=quantized, n_threads=n_threads
+    )
+    for ids, res in pipeline.run():
+        results.append((ids, res))
+    if results:
+        jax.block_until_ready(results[-1][1])
+
+    retried = 0
+    fns = {0: fn0}
+    for w, (ids, res) in enumerate(results):
+        if not bool(np.any(np.asarray(overflow_of(res)))):
+            continue
+        retried += 1
+        for tier in range(1, n_tiers):
+            if tier not in fns:
+                fns[tier] = build_fn(tier)
+            sub = TrajectoryReader(
+                reader.paths,
+                begin=FrameSpec(frame=int(ids[0])),
+                end=FrameSpec(frame=int(ids[-1])),
+                skip=reader.skip,
+            )
+            redo = [
+                (rids, fns[tier](coords, boxes, invs, times))
+                for coords, boxes, invs, times, rids in sub.iter_windows(
+                    window, n_threads, quantized=quantized
+                )
+            ]
+            assert len(redo) == 1 and np.array_equal(redo[0][0], ids), (
+                "window re-read did not reproduce the original frame set"
+            )
+            if not bool(np.any(np.asarray(overflow_of(redo[0][1])))):
+                results[w] = redo[0]
+                break
+        else:
+            raise AnalysisError(
+                f"window {w} (frames {ids[0]}..{ids[-1]}) still overflows at "
+                f"the largest capacity tier {n_tiers - 1}"
+            )
+    return results, retried
+
+
 @dataclass
 class AnalysisContext:
     """Mirrors the reference AnalysisContext {sys, consumed_frames, args}

@@ -10,11 +10,13 @@ import jax.numpy as jnp
 
 from molar_tpu.io.xtc import XtcHandler
 from molar_tpu.tasks.trajectory import (
+    AnalysisError,
     AnalysisTask,
     FrameSpec,
     TrajectoryReader,
     WindowAnalysisTask,
     WindowPipeline,
+    run_with_overflow_retry,
 )
 
 
@@ -210,3 +212,104 @@ def test_pymolar_zero_arg_hooks_and_first_frame_pre_process(two_trajs, structure
     assert t.done
     # structure file has all-zero coords; frame 1 does not
     assert np.abs(t.src_coords_at_pre).sum() > 0
+
+
+def _write_overflow_traj(path, n_atoms=64, n_frames=12, window_bad=(8, 9)):
+    """Frames spread uniformly except a few that pile every atom into one
+    cell (forcing cell-capacity overflow for small caps)."""
+    rng = np.random.default_rng(3)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    w = XtcHandler(str(path), "w")
+    for k in range(n_frames):
+        if k in window_bad:
+            c = rng.uniform(0.1, 0.4, (n_atoms, 3)).astype(np.float32)
+        else:
+            c = rng.uniform(0, 4, (n_atoms, 3)).astype(np.float32)
+        w.write_raw(c, box, step=k, time=float(k))
+    w.close()
+
+
+def test_overflow_retry_reruns_flagged_windows(tmp_path):
+    from molar_tpu.ops import neighbor
+
+    path = tmp_path / "o.xtc"
+    _write_overflow_traj(path)
+    dims = neighbor.grid_dims([4.0, 4.0, 4.0], 0.5)
+    idx = jnp.arange(64)
+    built = []
+
+    def build_fn(tier):
+        cap = 8 * (tier + 1) * (tier + 1)  # 8, 32, 72
+        built.append(cap)
+
+        @jax.jit
+        def fn(coords, boxes, invs, times):
+            def per_frame(carry, frame):
+                c, b, i = frame
+                mask, ofl = neighbor.within_mask(
+                    c, idx, idx, cutoff=0.5, box=b, inv=i, dims=dims, cap=cap
+                )
+                return carry, (jnp.sum(mask), ofl)
+
+            _, (cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
+            return cnt, ofl
+
+        return fn
+
+    reader = TrajectoryReader([str(path)])
+    results, retried = run_with_overflow_retry(
+        reader, 4, build_fn, n_tiers=3, overflow_of=lambda r: r[1]
+    )
+    # Window 2 (frames 8-11) contains the piled-up frames (all 64 atoms in
+    # one cell) -> retried, escalating to the cap-72 tier.
+    assert retried == 1
+    assert built == [8, 32, 72]
+    assert len(results) == 3
+    # All final results overflow-free and counts correct vs the host search.
+    from molar_tpu.ops import neighbor_host
+    from molar_tpu import PBC_FULL, PeriodicBox
+
+    all_counts = np.concatenate([np.asarray(r[0]) for _, r in results])
+    box = PeriodicBox(np.diag([4.0, 4.0, 4.0]))
+    h = XtcHandler(str(path), "r")
+    for k in range(12):
+        st = h.read_frame(k)
+        want = len(
+            neighbor_host.search_within(
+                0.5, st.coords, np.arange(64), np.arange(64), box, PBC_FULL
+            )
+        )
+        assert all_counts[k] == want, k
+    h.close()
+    for _, r in results:
+        assert not np.any(np.asarray(r[1]))
+
+
+def test_overflow_retry_exhausted_raises(tmp_path):
+    from molar_tpu.ops import neighbor
+
+    path = tmp_path / "o2.xtc"
+    _write_overflow_traj(path, window_bad=(0, 1, 2, 3))
+    dims = neighbor.grid_dims([4.0, 4.0, 4.0], 0.5)
+    idx = jnp.arange(64)
+
+    def build_fn(tier):
+        @jax.jit
+        def fn(coords, boxes, invs, times):
+            def per_frame(carry, frame):
+                c, b, i = frame
+                mask, ofl = neighbor.within_mask(
+                    c, idx, idx, cutoff=0.5, box=b, inv=i, dims=dims, cap=4
+                )
+                return carry, (jnp.sum(mask), ofl)
+
+            _, (cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
+            return cnt, ofl
+
+        return fn
+
+    with pytest.raises(AnalysisError, match="still overflows"):
+        run_with_overflow_retry(
+            TrajectoryReader([str(path)]), 4, build_fn, n_tiers=2,
+            overflow_of=lambda r: r[1],
+        )
