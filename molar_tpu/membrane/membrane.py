@@ -428,7 +428,7 @@ class Membrane:
         box = sys.state.require_box()
         for lip in self.lipids:
             lip.valid = True
-            lip.update_markers(sys)
+        self._update_markers_all()
         self._compute_patches(self.options.cutoff)
         self._initial_normals()
         for it in range(max(self.options.max_smooth_iter, 1)):
@@ -470,9 +470,90 @@ class Membrane:
         vis.save(path)
 
     # -- internals ------------------------------------------------------------
+    #
+    # The per-frame pipeline is batched over the lipid axis (arrays over all
+    # lipids + one padded patch matrix) instead of per-lipid Python loops —
+    # the TPU-era expression of the reference's rayon par_iter_mut over
+    # lipids (molar_membrane/src/lib.rs:661-760). Only the 2D Voronoi
+    # half-plane clipping stays per-lipid. Results are written back onto the
+    # LipidMolecule objects, so outputs are unchanged.
 
     def _valid(self):
         return [l for l in self.lipids if l.valid]
+
+    def _lipid_atom_arrays(self):
+        """Cached concatenated per-lipid atom/marker index arrays."""
+        if not hasattr(self, "_atom_cache"):
+            firsts = np.array(
+                [int(l.sel.indices[0]) for l in self.lipids], np.int64
+            )
+            atom_idx = np.concatenate([l.sel.indices for l in self.lipids])
+            atom_first = np.concatenate(
+                [
+                    np.full(len(l.sel.indices), f, np.int64)
+                    for l, f in zip(self.lipids, firsts)
+                ]
+            )
+
+            def marker(idx_of):
+                idx = np.concatenate([idx_of(l) for l in self.lipids])
+                seg = np.concatenate(
+                    [
+                        np.full(len(idx_of(l)), i, np.int64)
+                        for i, l in enumerate(self.lipids)
+                    ]
+                )
+                return idx, seg
+
+            self._atom_cache = (
+                atom_idx,
+                atom_first,
+                marker(lambda l: l.head_idx),
+                marker(lambda l: l.mid_idx),
+                marker(lambda l: l.tail_end_idx),
+            )
+        return self._atom_cache
+
+    def _update_markers_all(self) -> None:
+        """Batched unwrap + marker COMs (was per-lipid update_markers)."""
+        sys = self.system
+        box = sys.state.require_box()
+        coords = sys.state.coords
+        masses = sys.topology.mass
+        atom_idx, atom_first, head, mid, tail = self._lipid_atom_arrays()
+        # unwrap_simple per lipid: every atom to the closest image of its
+        # lipid's first atom (modify.rs unwrap_simple semantics).
+        ref = coords[atom_first]
+        coords[atom_idx] = ref + box.shortest_vector(coords[atom_idx] - ref)
+        n = len(self.lipids)
+
+        def seg_com(idx, seg):
+            w = masses[idx].astype(np.float64)
+            wsum = np.bincount(seg, weights=w, minlength=n)
+            out = np.empty((n, 3))
+            for d in range(3):
+                out[:, d] = np.bincount(
+                    seg, weights=w * coords[idx, d], minlength=n
+                )
+            return out / wsum[:, None]
+
+        heads = seg_com(*head)
+        mids = seg_com(*mid)
+        tails = seg_com(*tail)
+        for i, l in enumerate(self.lipids):
+            l.head_marker = heads[i]
+            l.mid_marker = mids[i]
+            l.tail_marker = tails[i]
+
+    def _padded_patches(self):
+        """(pid (L,P) padded with -1, mask (L,P)) from per-lipid patch_ids."""
+        n = len(self.lipids)
+        P = max((len(l.patch_ids) for l in self.lipids), default=0)
+        pid = np.full((n, max(P, 1)), -1, np.int64)
+        for i, l in enumerate(self.lipids):
+            if l.patch_ids:
+                pid[i, : len(l.patch_ids)] = l.patch_ids
+        return pid, pid >= 0
 
     def _compute_patches(self, cutoff: float) -> None:
         box = self.system.state.require_box()
@@ -491,92 +572,166 @@ class Membrane:
             self.lipids[ids[b]].patch_ids.append(ids[a])
 
     def _initial_normals(self) -> None:
-        for lip in self._valid():
-            v = lip.head_marker - lip.tail_marker
-            lip.tail_head_vec = v / np.linalg.norm(v)
+        valid = np.array([l.valid for l in self.lipids], bool)
+        heads = np.stack([l.head_marker for l in self.lipids])
+        tails = np.stack([l.tail_marker for l in self.lipids])
+        v = heads - tails
+        thv = v / np.linalg.norm(v, axis=1, keepdims=True)
+        for i, l in enumerate(self.lipids):
+            if valid[i]:
+                l.tail_head_vec = thv[i]
+        pid, pmask = self._padded_patches()
+        pid_s = np.maximum(pid, 0)
+        vecs = np.where(valid[:, None], thv, 0.0)  # garbage rows never used
         for passes in range(2):
-            attr = "tail_head_vec" if passes == 0 else "normal"
-            new = {}
-            for lip in self._valid():
-                mine = getattr(lip, attr)
-                acc = mine.copy()
-                for j in lip.patch_ids:
-                    other = getattr(self.lipids[j], attr)
-                    cosang = np.clip(
-                        other @ mine / (np.linalg.norm(other) * np.linalg.norm(mine)),
-                        -1,
-                        1,
-                    )
-                    if np.arccos(cosang) <= np.pi / 2:
-                        acc = acc + other
-                new[lip.id] = acc / np.linalg.norm(acc)
-            for lid, nv in new.items():
-                self.lipids[lid].normal = nv
+            # angular filter arccos(cos) <= pi/2  <=>  cos >= 0
+            other = vecs[pid_s]  # (L, P, 3)
+            cos = np.einsum("lpd,ld->lp", other, vecs)
+            keep = pmask & (cos >= 0)
+            acc = vecs + np.where(keep[..., None], other, 0.0).sum(axis=1)
+            norm = np.linalg.norm(acc, axis=1, keepdims=True)
+            vecs = acc / np.where(norm == 0, 1.0, norm)
+            for i, l in enumerate(self.lipids):
+                if valid[i]:
+                    l.normal = vecs[i]
+            # pass 1 reads the freshly written normals; `vecs` already is
+            # that array (patch ids only ever reference valid lipids)
 
     def _smooth(self) -> None:
         box = self.system.state.require_box()
-        saved = [l.head_marker.copy() for l in self.lipids]
-        for lip in self.lipids:
-            if not lip.valid:
-                continue
-            to_lab = lip.to_lab_transform()
-            try:
-                to_local = np.linalg.inv(to_lab)
-            except np.linalg.LinAlgError:
-                lip.valid = False
-                continue
-            p0 = lip.head_marker
-            if not lip.patch_ids:
-                lip.valid = False
-                continue
-            rel = np.asarray(
+        nl = len(self.lipids)
+        saved = np.stack([np.asarray(l.head_marker, np.float64) for l in self.lipids])
+        valid = np.array([l.valid for l in self.lipids], bool)
+        counts = np.array([len(l.patch_ids) for l in self.lipids])
+        for i, l in enumerate(self.lipids):
+            if valid[i] and counts[i] == 0:
+                l.valid = False
+                valid[i] = False
+        pid, pmask = self._padded_patches()
+        pid_s = np.maximum(pid, 0)
+
+        # Local frames (to_lab columns n x ex, n x (n x ex), -n; deliberately
+        # not orthonormal — lipid_molecule.rs:190-196) and their inverses.
+        normals = np.stack([np.asarray(l.normal, np.float64) for l in self.lipids])
+        c0 = np.cross(normals, np.array([1.0, 0.0, 0.0]))
+        c1 = np.cross(normals, c0)
+        to_lab = np.stack([c0, c1, -normals], axis=2)  # (L,3,3), columns
+        det = np.linalg.det(to_lab)
+        sing = ~np.isfinite(det) | (np.abs(det) < 1e-12)
+        for i, l in enumerate(self.lipids):
+            if valid[i] and sing[i]:
+                l.valid = False
+                valid[i] = False
+        to_local = np.linalg.inv(np.where(sing[:, None, None], np.eye(3), to_lab))
+
+        # Min-image patch displacements (f32 cast matches the reference's
+        # Float path) and local coordinates, batched over (L, P).
+        rel = (saved[pid_s] - saved[:, None, :]).astype(np.float32)
+        rel = box.shortest_vector(rel).astype(np.float64)
+        local = np.einsum("lij,lpj->lpi", to_local, rel)
+
+        # Quadric fit z = Ax^2+By^2+Cxy+Dx+Ey+F via masked 6x6 normal
+        # equations, batched (lib.rs:844-866 / get_quad_coefs).
+        x, y, z = local[..., 0], local[..., 1], local[..., 2]
+        Pm = np.stack([x * x, y * y, x * y, x, y, np.ones_like(x)], axis=-1)
+        Pm = np.where(pmask[..., None], Pm, 0.0)
+        zm = np.where(pmask, z, 0.0)
+        M = np.einsum("lpi,lpj->lij", Pm, Pm)
+        rhs = np.einsum("lpi,lp->li", Pm, zm)
+        # cholesky-succeeds check, batched: all eigenvalues > 0
+        pd = np.linalg.eigvalsh(np.where(valid[:, None, None], M, np.eye(6)))[
+            :, 0
+        ] > 0
+        for i, l in enumerate(self.lipids):
+            if valid[i] and not pd[i]:
+                l.valid = False
+                valid[i] = False
+        coefs = np.linalg.solve(
+            np.where((valid & pd)[:, None, None], M, np.eye(6)), rhs[..., None]
+        )[..., 0]
+
+        # Per-lipid Voronoi (half-plane clipping stays host-sequential),
+        # then batched curvature/area/marker updates written back.
+        a, b, c, d, e, f = (coefs[:, k] for k in range(6))
+        E = 1 + d * d
+        F = d * e
+        G = 1 + e * e
+        Lq = 2 * a
+        Mq = c
+        Nq = 2 * b
+        Z = np.where(valid, E * G - F * F, 1.0)
+        gaussian = (Lq * Nq - Mq * Mq) / Z
+        meanc = 0.5 * (E * Nq - 2 * F * Mq + G * Lq) / Z
+        vnorm = np.stack([d, e, -np.ones_like(d)], axis=1)
+        vnorm /= np.linalg.norm(vnorm, axis=1, keepdims=True)
+        new_normals = np.einsum("lij,lj->li", to_lab, vnorm)
+        W = (
+            np.stack(
                 [
-                    box.shortest_vector((saved[j] - p0).astype(np.float32))
-                    for j in lip.patch_ids
+                    np.stack([E * Lq - F * Mq, E * Mq - F * Nq], axis=1),
+                    np.stack([G * Mq - F * Lq, G * Nq - F * Mq], axis=1),
                 ],
-                dtype=np.float64,
+                axis=1,
             )
-            local = rel @ to_local.T
-            coefs = get_quad_coefs(local)
-            if coefs is None:
-                lip.valid = False
+            / Z[:, None, None]
+        )
+        wvals, wvecs = np.linalg.eigh(0.5 * (W + np.swapaxes(W, 1, 2)))
+
+        # fitted patch projections: saved[j] + (z_surf - z) * to_lab[:, 2]
+        zs = (
+            a[:, None] * x * x
+            + b[:, None] * y * y
+            + c[:, None] * x * y
+            + d[:, None] * x
+            + e[:, None] * y
+            + f[:, None]
+        )
+        fit_pts = saved[pid_s] + (zs - z)[..., None] * to_lab[:, None, :, 2]
+
+        for i, lip in enumerate(self.lipids):
+            if not valid[i]:
                 continue
+            n_p = counts[i]
             vc = VoronoiCell(-10.0, 10.0, -10.0, 10.0)
-            for j, p in zip(lip.patch_ids, local):
+            for j, p in zip(lip.patch_ids, local[i, :n_p]):
                 vc.add_point(p[:2], j)
             verts = vc.vertices()
-            lip.neib_ids = [i for _, i in verts if i >= 0]
+            lip.neib_ids = [k for _, k in verts if k >= 0]
             if len(lip.neib_ids) < len(verts):
                 lip.valid = False  # patch touches the bounding wall
+                valid[i] = False
                 continue
-            lip.compute_curvature_and_normal(coefs, to_lab)
-            voro = []
-            for pos, _ in verts:
-                x, y = pos
-                voro.append(to_lab @ np.array([x, y, _z_surf(x, y, coefs)]))
-            lip.voro_vertexes = voro
-            n = len(voro)
-            lip.area = sum(
-                0.5 * np.linalg.norm(np.cross(voro[i], voro[(i + 1) % n]))
-                for i in range(n)
+            # curvature + normal (compute_curvature_and_normal, batched above)
+            lip.gaussian_curv = gaussian[i]
+            lip.mean_curv = meanc[i]
+            lip.normal = new_normals[i]
+            lip.princ_curvs = wvals[i]
+            lip.princ_dirs = np.stack(
+                [
+                    to_lab[i] @ np.array([wvecs[i, 0, 0], wvecs[i, 1, 0], 0.0]),
+                    to_lab[i] @ np.array([wvecs[i, 0, 1], wvecs[i, 1, 1], 0.0]),
+                ],
+                axis=1,
             )
-            lip.fitted_patch_points = [
-                saved[j]
-                + to_lab @ np.array([0.0, 0.0, _z_surf(p[0], p[1], coefs) - p[2]])
-                for j, p in zip(lip.patch_ids, local)
-            ]
-            if abs(coefs[5]) > 0.5:
+            v2 = np.array([p for p, _ in verts])
+            zsurf = _z_surf(v2[:, 0], v2[:, 1], coefs[i])
+            voro = (to_lab[i] @ np.stack([v2[:, 0], v2[:, 1], zsurf])).T
+            lip.voro_vertexes = list(voro)
+            nxt = np.roll(voro, -1, axis=0)
+            lip.area = 0.5 * np.linalg.norm(np.cross(voro, nxt), axis=1).sum()
+            lip.fitted_patch_points = list(fit_pts[i, :n_p])
+            if abs(coefs[i, 5]) > 0.5:
                 lip.valid = False
+                valid[i] = False
                 continue
-            lip.head_marker = p0 + to_lab @ np.array([0.0, 0.0, coefs[5]])
+            lip.head_marker = saved[i] + coefs[i, 5] * to_lab[i, :, 2]
 
-        # marker smoothing over fitted patch projections
-        smooth_n = np.ones(len(self.lipids))
-        smooth_p = np.stack([l.head_marker for l in self.lipids])
-        for lip in self._valid():
-            for j, p in zip(lip.patch_ids, lip.fitted_patch_points):
-                smooth_n[j] += 1
-                smooth_p[j] = smooth_p[j] + p
+        # marker smoothing over fitted patch projections (batched scatter)
+        smooth_n = np.ones(nl)
+        smooth_p = np.stack([np.asarray(l.head_marker, np.float64) for l in self.lipids])
+        ok = valid[:, None] & pmask
+        np.add.at(smooth_n, pid_s[ok], 1.0)
+        np.add.at(smooth_p, pid_s[ok], fit_pts[ok])
         for lip in self._valid():
             lip.head_marker = smooth_p[lip.id] / smooth_n[lip.id]
         for lip in self._valid():
