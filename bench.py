@@ -132,12 +132,12 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (smoke tests; the axon "
                     "TPU plugin ignores JAX_PLATFORMS so this must be a flag)")
-    ap.add_argument("--quantized", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="ship XTC windows as raw i16 quantized ints (half the "
-                    "H2D bytes, bit-exact vs the f32 decode). ~15%% faster "
-                    "end-to-end measured back-to-back; --no-quantized for the "
-                    "plain f32 path")
+    ap.add_argument("--transport", choices=["f32", "i16", "delta"],
+                    default="delta",
+                    help="window transport: plain f32; raw i16 quantized ints "
+                    "(half the bytes, bit-exact); or i8 frame-to-frame deltas "
+                    "of those ints (roughly quarter the bytes, still "
+                    "bit-exact; falls back to i16 when deltas exceed int8)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed passes over the trajectory; best fps reported")
     ap.add_argument("--host-frames", type=int, default=2,
@@ -169,8 +169,11 @@ def main() -> int:
     from molar_tpu.ops import measure, measure_host, neighbor, neighbor_host
     from molar_tpu.tasks.trajectory import (
         TrajectoryReader,
+        decode_window_coords,
         run_with_overflow_retry,
     )
+
+    quant_mode = {"f32": False, "i16": True, "delta": "delta"}[args.transport]
 
     box = PeriodicBox(np.diag([args.box] * 3).astype(np.float32))
     coords0, masses = make_system(args.atoms, args.protein, args.box)
@@ -219,12 +222,10 @@ def main() -> int:
 
         @jax.jit
         def window_fn(coords, boxes, invs, times):
-            if isinstance(coords, tuple):
-                # Quantized transfer: XTC's raw ints x scale reproduces the
-                # f32 decode bit-exactly at half the H2D bytes (the tunnel is
-                # the bottleneck wire, ~40 MB/s sustained).
-                icoords, scale = coords
-                coords = icoords.astype(jnp.float32) * scale
+            # Quantized/delta transfer: exact int reconstruction x scale is
+            # bit-identical to the f32 decode at a half / quarter of the H2D
+            # bytes (the tunnel is the bottleneck wire).
+            coords = decode_window_coords(coords)
 
             def per_frame(carry, frame):
                 c, b, i = frame
@@ -277,7 +278,7 @@ def main() -> int:
         t0 = time.perf_counter()
         results, retried = run_with_overflow_retry(
             reader, args.window, cached_build, n_tiers=4,
-            overflow_of=lambda r: r[2], quantized=args.quantized,
+            overflow_of=lambda r: r[2], quantized=quant_mode,
         )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)

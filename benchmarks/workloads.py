@@ -179,38 +179,70 @@ def wl_contacts(system, xtc, window, cutoff=0.4):
 
 
 def wl_sasa(system, xtc, window):
+    """Per-residue SASA time series — EXACT device Lee-Richards (sasa_lr),
+    Verlet-skin neighbor lists rebuilt only when drift exceeds skin/2."""
     import jax
     import jax.numpy as jnp
 
-    from molar_tpu.ops import sasa as sasa_dev
+    from molar_tpu.ops import sasa_lr
 
     sel = system("resname ALA")
-    radii = jnp.asarray(sel.topology.vdw()[sel.indices] + 0.14)
+    radii_np = sel.topology.vdw()[sel.indices].astype(np.float64) + 0.14
+    radii = jnp.asarray(radii_np, jnp.float32)
     seg = jnp.asarray(sel.segment_ids())
     nseg = int(seg[-1]) + 1
     idx = sel.indices
-    # topology-stable neighbor matrix from frame 0; drift margin baked into
-    # the radii passed to the pair search (radii already include the probe)
-    nb, _ = sasa_dev.neighbor_matrix(
-        system.state.coords[idx], np.asarray(radii) + 0.15, cap=96
-    )
-    nbj = jnp.asarray(nb)
+    skin = 0.3
 
     @jax.jit
-    def fn(coords):
+    def fn(coords, nbj, build_coords):
         def per_frame(carry, c):
             x = jnp.stack(
                 [c[:, 0][jnp.asarray(idx)], c[:, 1][jnp.asarray(idx)],
                  c[:, 2][jnp.asarray(idx)]], -1)
-            areas = sasa_dev.shrake_rupley(x, radii, nbj, n_points=240)
-            return carry, jax.ops.segment_sum(areas, seg, num_segments=nseg)
+            areas = sasa_lr.sasa(x, radii, nbj, n_slices=32, block=1024)
+            drift = sasa_lr.max_displacement(x, build_coords)
+            return carry, (
+                jax.ops.segment_sum(areas, seg, num_segments=nseg),
+                drift,
+            )
         return jax.lax.scan(per_frame, 0, coords)[1]
+
+    def build_lists(c):
+        cap = 96
+        while True:
+            nb, ofl = sasa_lr.neighbor_lists(c, radii_np, cap=cap, skin=skin)
+            if not ofl:
+                return nb, cap
+            cap += 48
+
+    build_c = system.state.coords[idx].astype(np.float64)
+    nb, cap0 = build_lists(build_c)
+    nbj = jnp.asarray(nb)
+    build_j = jnp.asarray(build_c, jnp.float32)
 
     n = 0
     outs = []
+    rebuilds = 0
     t0 = time.perf_counter()
     for coords, boxes, invs, times, ids in _windows(xtc, window):
-        outs.append(fn(jax.device_put(coords)))
+        out, drift = fn(jax.device_put(coords), nbj, build_j)
+        if float(np.max(np.asarray(drift))) >= skin / 2:
+            # Verlet rebuild from this window's first frame, then redo it.
+            # Keep the cap (array shape) stable so the jit doesn't retrace
+            # unless the rebuilt lists genuinely need a bigger capacity.
+            rebuilds += 1
+            build_c = coords[0][idx].astype(np.float64)
+            nb, ofl = sasa_lr.neighbor_lists(build_c, radii_np, cap=cap0, skin=skin)
+            if ofl:
+                nb, cap0 = build_lists(build_c)
+            nbj = jnp.asarray(nb)
+            build_j = jnp.asarray(build_c, jnp.float32)
+            out, drift = fn(jax.device_put(coords), nbj, build_j)
+            assert float(np.max(np.asarray(drift))) < skin / 2, (
+                "window drifts beyond skin/2 within itself; shrink the window"
+            )
+        outs.append(out)
         n += len(ids)
     jax.block_until_ready(outs)
     return n, time.perf_counter() - t0
@@ -279,7 +311,15 @@ def main() -> int:
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
                              "sasa", "membrane"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (the axon TPU plugin "
+                    "ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from molar_tpu import System
 

@@ -160,9 +160,16 @@ class TrajectoryReader:
         ``quantized=True`` ships XTC windows as their raw quantized ints:
         coords becomes the pair ``(icoords (B,N,3) int16, scale f32 scalar)``
         — HALF the host->device bytes, and ``icoords * scale`` on device is
-        bit-identical to the float decode. Windows that can't be represented
-        (non-XTC source, huge boxes, tiny frames) silently fall back to
-        plain f32 coords, so consumers must handle both forms.
+        bit-identical to the float decode. ``quantized="delta"`` goes
+        further: frames 1..B-1 ship as int8 frame-to-frame deltas of those
+        ints (coords becomes ``(frame0 (N,3) i16, deltas (B-1,N,3) i8,
+        scale)``), roughly HALVING the bytes again for smoothly-moving
+        trajectories; the device reconstructs the exact ints by prefix sum,
+        so the result stays bit-identical. Windows whose deltas exceed the
+        int8 range fall back to the i16 pair, and non-representable windows
+        (non-XTC source, huge boxes, tiny frames) fall back to plain f32 —
+        consumers must handle all three forms (see
+        :func:`decode_window_coords`).
         """
         from ..io.xtc import XtcHandler
 
@@ -199,6 +206,16 @@ class TrajectoryReader:
                                     int(chunk[0]), len(chunk), n_threads
                                 )
                                 coords = (ic, scale)
+                                if quantized == "delta" and len(ic) > 1:
+                                    d = np.diff(ic.astype(np.int32), axis=0)
+                                    if (
+                                        np.abs(d).max(initial=0) <= 127
+                                    ):
+                                        coords = (
+                                            ic[0],
+                                            d.astype(np.int8),
+                                            scale,
+                                        )
                             except ValueError:
                                 coords = None
                         if coords is None:
@@ -265,6 +282,35 @@ class TrajectoryReader:
 
 def _invert_boxes(boxes: np.ndarray) -> np.ndarray:
     return np.linalg.inv(boxes.astype(np.float64)).astype(np.float32)
+
+
+def decode_window_coords(coords):
+    """Device-side decode of a window's coords in any transport form.
+
+    Handles the three forms yielded by :meth:`TrajectoryReader.iter_windows`:
+    plain f32 (B,N,3); quantized ``(i16 ints, scale)``; delta-quantized
+    ``(frame0 i16, deltas i8, scale)``. Returns f32 (B,N,3), bit-identical
+    to the plain decode in all three cases (prefix sums of the deltas
+    reconstruct the exact ints; every partial sum is a true coordinate
+    difference, which fits i32 trivially).
+    """
+    import jax.numpy as jnp
+
+    if not isinstance(coords, tuple):
+        return coords
+    if len(coords) == 2:
+        ic, scale = coords
+        return ic.astype(jnp.float32) * scale
+    f0, d8, scale = coords
+    ints = jnp.concatenate(
+        [
+            f0[None].astype(jnp.int32),
+            f0[None].astype(jnp.int32)
+            + jnp.cumsum(d8.astype(jnp.int32), axis=0),
+        ],
+        axis=0,
+    )
+    return ints.astype(jnp.float32) * scale
 
 
 class WindowPipeline:

@@ -96,15 +96,15 @@ def test_window_pipeline_matches_direct_reads(two_trajs):
 
 
 def test_window_pipeline_quantized_matches_plain(two_trajs):
+    from molar_tpu.tasks.trajectory import decode_window_coords
+
     @jax.jit
     def window_fn(coords, boxes, invs, times):
-        if isinstance(coords, tuple):
-            ic, scale = coords
-            coords = ic.astype(jnp.float32) * scale
-        return coords
+        return decode_window_coords(coords)
 
     def collect(**kw):
         out = []
+        forms = set()
         for _, c in WindowPipeline(
             TrajectoryReader(two_trajs), 4, window_fn, **kw
         ).run():
@@ -113,7 +113,28 @@ def test_window_pipeline_quantized_matches_plain(two_trajs):
 
     # the conversion contract is BIT-exact per element (reductions may
     # reassociate between differently-structured compiled programs)
-    np.testing.assert_array_equal(collect(quantized=True), collect())
+    plain = collect()
+    np.testing.assert_array_equal(collect(quantized=True), plain)
+    np.testing.assert_array_equal(collect(quantized="delta"), plain)
+
+
+def test_delta_transport_form_and_fallback(tmp_path):
+    """Smooth windows ship as (frame0 i16, deltas i8, scale); a window with a
+    jump beyond int8 falls back to the i16 pair. Both decode bit-exactly."""
+    rng = np.random.default_rng(9)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    w = XtcHandler(str(tmp_path / "d.xtc"), "w")
+    c = rng.uniform(0, 4, (50, 3)).astype(np.float32)
+    for k in range(8):
+        # frames 4+ jump by 0.5 nm (= 500 quantized units, >> int8)
+        c = c + (0.01 if k < 4 else 0.5)
+        w.write_raw(c, box, step=k, time=float(k))
+    w.close()
+    reader = TrajectoryReader([str(tmp_path / "d.xtc")])
+    forms = []
+    for coords, *_ in reader.iter_windows(4, quantized="delta"):
+        forms.append(len(coords) if isinstance(coords, tuple) else 0)
+    assert forms == [3, 2]  # delta triple, then i16 fallback pair
 
 
 def test_analysis_task_hooks_and_add_time(two_trajs, structure):
