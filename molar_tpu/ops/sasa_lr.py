@@ -184,3 +184,61 @@ def sasa(
         ),
     )
     return blocks.reshape(-1)[:n]
+
+
+class SasaSeries:
+    """Reusable exact-SASA evaluator for trajectories (device).
+
+    The reference PowerSasa keeps its power diagram alive and ``update``-s it
+    per frame (molar/src/sasa.rs:52-121); the TPU-era analog keeps a
+    fixed-capacity Verlet neighbor list alive and rebuilds it only when any
+    atom drifted more than skin/2 from its build position. ``update(coords)``
+    returns the exact per-atom areas for the new coordinates.
+
+    >>> ss = SasaSeries(coords0, vdw, probe=0.14)
+    >>> areas_t = [np.asarray(ss.update(c)) for c in frames]
+    """
+
+    def __init__(
+        self,
+        coords,
+        vdw,
+        probe: float = DEFAULT_PROBE,
+        skin: float = 0.2,
+        n_slices: int = 64,
+        cap: int = 96,
+        block: int = 2048,
+    ):
+        self.radii_np = np.asarray(vdw, np.float64) + probe
+        self.skin = skin
+        self.n_slices = n_slices
+        self.block = block
+        self.cap = cap
+        self.rebuilds = 0
+        self._build(np.asarray(coords, np.float64))
+
+    def _build(self, coords) -> None:
+        while True:
+            nbr, overflow = neighbor_lists(
+                coords, self.radii_np, cap=self.cap, skin=self.skin
+            )
+            if not overflow:
+                break
+            self.cap += max(self.cap // 2, 16)
+        self._nbr = jnp.asarray(nbr)
+        self._build_coords = jnp.asarray(coords, jnp.float32)
+        self._radii = jnp.asarray(self.radii_np, jnp.float32)
+
+    def update(self, coords):
+        """Exact per-atom SASA for new coordinates, reusing the neighbor
+        list while it is still valid (drift < skin/2)."""
+        c = jnp.asarray(coords, jnp.float32)
+        if float(max_displacement(c, self._build_coords)) >= self.skin / 2:
+            self.rebuilds += 1
+            self._build(np.asarray(coords, np.float64))
+        return sasa(
+            c, self._radii, self._nbr, n_slices=self.n_slices, block=self.block
+        )
+
+    def areas(self, coords):
+        return self.update(coords)

@@ -84,3 +84,20 @@ def test_neighbor_overflow_flag():
     radii = np.full(10, 0.3)
     _, ofl = neighbor_lists(coords, radii, cap=4)
     assert ofl
+
+
+def test_sasa_series_update_reuse():
+    """SasaSeries mirrors PowerSasa's update-reuse contract (sasa.rs:52-121):
+    repeated updates stay exact across drift-triggered rebuilds."""
+    from molar_tpu.ops.sasa_lr import SasaSeries
+
+    rng = np.random.default_rng(11)
+    c = rng.uniform(0, 1.5, (50, 3))
+    vdw = np.full(50, 0.15)
+    ss = SasaSeries(c, vdw, probe=0.14, skin=0.1, n_slices=32, cap=96, block=50)
+    for k in range(6):
+        c = c + rng.normal(0, 0.04, c.shape)  # guaranteed to exceed skin/2 soon
+        got = np.asarray(ss.update(c))
+        want = sasa_host.sasa(c, vdw, probe=0.14, n_slices=32)
+        assert _rel_err(got, want) < 1e-4, k
+    assert ss.rebuilds >= 1
