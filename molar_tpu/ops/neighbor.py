@@ -178,11 +178,15 @@ def _search_core(
 ):
     """Shared setup for the cell search.
 
-    Returns (nb_ids (n, 27) flat neighbor-cell ids (-1 invalid), table,
-    overflow, a ``step(cells) -> (members, hit)`` function, and the wrapped
-    src/tgt component planes). Callers drive the 27 offsets through
-    ``lax.fori_loop`` — one compiled body instead of a 27x-unrolled graph
-    (which took ~27 x 15 s of XLA compile time at 100k atoms).
+    Returns (table, overflow, a ``step(o) -> (members, hit)`` function over
+    offset index ``o``, and the wrapped src/tgt component planes). Callers
+    drive the 27 offsets through ``lax.fori_loop`` — one compiled body
+    instead of a 27x-unrolled graph (which took ~27 x 15 s of XLA compile
+    time at 100k atoms).
+
+    When ``corrections is None`` and every grid axis has >= 3 cells (no
+    offset aliasing, in-cutoff image unique), the per-pair min-image chain is
+    replaced by the per-(atom, offset) lattice shift (:func:`_cells_shift`).
     """
     src = coords[src_idx]
     tgt = coords[tgt_idx]
@@ -194,6 +198,27 @@ def _search_core(
     table, overflow = cell_table(tfx, tfy, tfz, dims, cap)
     cx, cy, cz = _cell3(sfx, sfy, sfz, dims)
 
+    c2 = jnp.asarray(cutoff, src.dtype) ** 2
+    offs_j = jnp.asarray(_OFFSETS)
+
+    if corrections is None and min(dims) >= 3:
+
+        def step(o):
+            off = offs_j[o]
+            cells, (shx, shy, shz), ok = _cells_shift(
+                cx, cy, cz, off, dims, pbc, box, src.dtype
+            )
+            members = table[cells]  # (n, cap)
+            valid = ok[:, None] & (members >= 0)
+            cand = jnp.maximum(members, 0)
+            dx = tx[cand] + shx[:, None] - sx[:, None]
+            dy = ty[cand] + shy[:, None] - sy[:, None]
+            dz = tz[cand] + shz[:, None] - sz[:, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            return members, valid & (d2 <= c2)
+
+        return table, overflow, step, (sx, sy, sz), (tx, ty, tz)
+
     nb_ids = jnp.stack(
         [_neighbor_cell_ids(cx, cy, cz, _OFFSETS[o], dims, pbc) for o in range(27)],
         axis=1,
@@ -201,9 +226,8 @@ def _search_core(
     if min(dims) <= 2:
         nb_ids = _dedupe_small_grid(nb_ids)
 
-    c2 = jnp.asarray(cutoff, src.dtype) ** 2
-
-    def step(cells):
+    def step(o):
+        cells = jax.lax.dynamic_index_in_dim(nb_ids, o, axis=1, keepdims=False)
         ok = cells >= 0
         members = table[jnp.maximum(cells, 0)]  # (n, cap)
         valid = ok[:, None] & (members >= 0)
@@ -214,7 +238,7 @@ def _search_core(
         d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
         return members, valid & (d2 <= c2)
 
-    return nb_ids, table, overflow, step, (sx, sy, sz), (tx, ty, tz)
+    return table, overflow, step, (sx, sy, sz), (tx, ty, tz)
 
 
 def _blocked_planes(values_list, flat, n_cells: int, cap: int, fill):
@@ -224,6 +248,11 @@ def _blocked_planes(values_list, flat, n_cells: int, cap: int, fill):
     This is the TPU-shaped cell grid: per-cell rows are contiguous, so the
     neighbor scan is a row gather + dense block math instead of random
     per-atom gathers (which measured ~2 s/frame at 100k atoms).
+
+    ``slot`` is non-decreasing by construction (sorted cell ids x cap + rank)
+    and unique unless a cell overflows ``cap`` — in which case the overflow
+    flag invalidates the result anyway — so the scatters carry the
+    sorted/unique hints.
     """
     order = jnp.argsort(flat)
     sorted_flat = flat[order]
@@ -235,7 +264,7 @@ def _blocked_planes(values_list, flat, n_cells: int, cap: int, fill):
         out.append(
             jnp.full((n_cells * cap,), f, dtype=v.dtype)
             .at[slot]
-            .set(v[order])
+            .set(v[order], indices_are_sorted=True, unique_indices=True)
             .reshape(n_cells, cap)
         )
     return out, slot, order, overflow
@@ -268,6 +297,41 @@ def _cell_neighbor_ids(dims, pbc):
     return flat
 
 
+def _cells_shift(cx, cy, cz, off, dims, pbc, box, dtype):
+    """Neighbor-cell ids plus the lab-frame lattice shift of that neighbor's
+    periodic image, for one (3,) offset applied to cell coords ``cx/cy/cz``.
+
+    The shift replaces per-pair min-image math: with every point wrapped into
+    the unit cell and cells no smaller than the cutoff, the only image of a
+    neighboring cell's contents that can be within cutoff is the one displaced
+    by the wrap's lattice vector — known per (cell, offset), broadcast over
+    the whole distance block (see distance_search.rs:39-60 for the reference's
+    equivalent cell-pair shift plan).
+
+    Returns (flat cell ids (clipped), (shift_x, shift_y, shift_z), ok mask).
+    """
+    ok = jnp.ones(cx.shape, dtype=bool)
+    cs = []
+    ws = []
+    for comp, d, per in ((cx, 0, pbc[0]), (cy, 1, pbc[1]), (cz, 2, pbc[2])):
+        c = comp + off[d]
+        if per:
+            w = jnp.where(c >= dims[d], 1, jnp.where(c < 0, -1, 0))
+            c = c - w * dims[d]
+        else:
+            w = jnp.zeros_like(c)
+            ok = ok & (c >= 0) & (c < dims[d])
+            c = jnp.clip(c, 0, dims[d] - 1)
+        cs.append(c)
+        ws.append(w.astype(dtype))
+    cells = (cs[0] * dims[1] + cs[1]) * dims[2] + cs[2]
+    # Lab shift = box @ w (box columns are the box vectors).
+    shx = box[0, 0] * ws[0] + box[0, 1] * ws[1] + box[0, 2] * ws[2]
+    shy = box[1, 0] * ws[0] + box[1, 1] * ws[1] + box[1, 2] * ws[2]
+    shz = box[2, 0] * ws[0] + box[2, 1] * ws[1] + box[2, 2] * ws[2]
+    return cells, (shx, shy, shz), ok
+
+
 def within_mask(
     coords,
     src_idx,
@@ -292,6 +356,19 @@ def within_mask(
     the occupied target cells (the right choice when the target selection is
     much smaller than the system).
 
+    Two per-pair math regimes:
+
+    * ``corrections is None`` (orthorhombic / no triclinic candidates): the
+      periodic image is resolved per (cell, offset) as a broadcast lattice
+      shift (:func:`_cells_shift`) — ~9 VPU ops/pair instead of the ~45-op
+      inverse-transform/round/forward-transform min-image chain, and padding
+      can be a huge-coordinate sentinel (no rounding to pull it back to d=0),
+      which drops the validity planes and their scatters. Offsets that alias
+      to the same cell on tiny grids are *distinct images* here and are all
+      evaluated (no dedupe), matching host min-image results.
+    * triclinic (``corrections`` given): the proven per-pair min-image path
+      with the correction-candidate sweep (periodic_box.rs:286-318).
+
     Returns (mask (len(src_idx),), overflow bool). ``dims``/``cap``/``pbc``
     static; ``cap`` bounds src cells, ``tgt_cap`` (default cap) target cells.
     """
@@ -309,6 +386,94 @@ def within_mask(
     tcx, tcy, tcz = _cell3(tfx, tfy, tfz, dims)
     tflat = (tcx * dims[1] + tcy) * dims[2] + tcz
 
+    c2 = jnp.asarray(cutoff, src.dtype) ** 2
+    offs_j = jnp.asarray(_OFFSETS)
+
+    if corrections is None:
+        # Shift fast path: sentinel padding (opposite signs so pad-vs-pad
+        # never differences to zero), no validity planes.
+        big_s = jnp.asarray(-1e17, src.dtype)
+        big_t = jnp.asarray(1e17, src.dtype)
+        (sxb, syb, szb), s_slot, s_order, s_ofl = _blocked_planes(
+            [sx, sy, sz], sflat, n_cells, cap, [big_s, big_s, big_s]
+        )
+        (txb, tyb, tzb), _, _, t_ofl = _blocked_planes(
+            [tx, ty, tz], tflat, n_cells, tgt_cap, [big_t, big_t, big_t]
+        )
+
+        if max_tgt_cells is not None:
+            sorted_t = jnp.sort(tflat)
+            is_first = jnp.concatenate(
+                [jnp.ones(1, bool), sorted_t[1:] != sorted_t[:-1]]
+            )
+            (occ_pos,) = jnp.nonzero(is_first, size=max_tgt_cells, fill_value=-1)
+            occ_ofl = jnp.sum(is_first) > max_tgt_cells
+            occ_valid = occ_pos >= 0
+            occ = jnp.where(occ_valid, sorted_t[jnp.maximum(occ_pos, 0)], 0)
+            ocx = occ // (dims[1] * dims[2])
+            ocy = (occ // dims[2]) % dims[1]
+            ocz = occ % dims[2]
+            # Unoccupied padding rows gather cell 0's real targets; force
+            # them to the sentinel so they cannot hit.
+            pad = ~occ_valid[:, None, None]
+            otx = jnp.where(pad, big_t, txb[occ][:, None, :])  # (T, 1, tcap)
+            oty = jnp.where(pad, big_t, tyb[occ][:, None, :])
+            otz = jnp.where(pad, big_t, tzb[occ][:, None, :])
+
+            def body(o, hit_blocks):
+                off = offs_j[o]
+                scells, (shx, shy, shz), ok = _cells_shift(
+                    ocx, ocy, ocz, off, dims, pbc, box, src.dtype
+                )
+                # Source image near these targets = stored + shift.
+                dx = otx - (sxb[scells][:, :, None] + shx[:, None, None])
+                dy = oty - (syb[scells][:, :, None] + shy[:, None, None])
+                dz = otz - (szb[scells][:, :, None] + shz[:, None, None])
+                d2 = dx * dx + dy * dy + dz * dz
+                hit = jnp.any(d2 <= c2, axis=2) & ok[:, None]  # (T, cap)
+                return hit_blocks.at[scells].max(hit)
+
+            hit_blocks = jax.lax.fori_loop(
+                0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
+            )
+            hit_sorted = hit_blocks.reshape(-1)[s_slot]
+            mask = (
+                jnp.zeros(src.shape[0], dtype=bool)
+                .at[s_order]
+                .set(hit_sorted, unique_indices=True)
+            )
+            return mask, s_ofl | t_ofl | occ_ofl
+
+        ids = jnp.arange(n_cells, dtype=sflat.dtype)
+        gcx = ids // (dims[1] * dims[2])
+        gcy = (ids // dims[2]) % dims[1]
+        gcz = ids % dims[2]
+
+        def body(o, hit_blocks):
+            off = offs_j[o]
+            cells, (shx, shy, shz), ok = _cells_shift(
+                gcx, gcy, gcz, off, dims, pbc, box, src.dtype
+            )
+            # Target image near these sources = stored + shift.
+            dx = txb[cells][:, None, :] + shx[:, None, None] - sxb[:, :, None]
+            dy = tyb[cells][:, None, :] + shy[:, None, None] - syb[:, :, None]
+            dz = tzb[cells][:, None, :] + shz[:, None, None] - szb[:, :, None]
+            d2 = dx * dx + dy * dy + dz * dz
+            hit = jnp.any(d2 <= c2, axis=2) & ok[:, None]  # (n_cells, cap)
+            return hit_blocks | hit
+
+        hit_blocks = jax.lax.fori_loop(
+            0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
+        )
+        hit_sorted = hit_blocks.reshape(-1)[s_slot]
+        mask = (
+            jnp.zeros(src.shape[0], dtype=bool)
+            .at[s_order]
+            .set(hit_sorted, unique_indices=True)
+        )
+        return mask, s_ofl | t_ofl
+
+    # Triclinic (min-image + corrections) path.
     # Pad slots carry an explicit validity plane — a coordinate sentinel
     # (like 1e30) would survive min-image rounding as d=0 and false-hit.
     zero = jnp.asarray(0.0, src.dtype)
@@ -322,7 +487,6 @@ def within_mask(
     )
 
     nb_ids = jnp.asarray(_cell_neighbor_ids(dims, pbc))  # (n_cells, 27)
-    c2 = jnp.asarray(cutoff, src.dtype) ** 2
 
     if max_tgt_cells is not None:
         # Sparse-target path: iterate the occupied *target* cells only and
@@ -423,15 +587,14 @@ def contact_pairs(
     distances (max_pairs,), count, overflow). Pair order is
     implementation-defined; sort before comparing across implementations.
     """
-    nb_ids, _, overflow, step, (sx, sy, sz), (tx, ty, tz) = _search_core(
+    _, overflow, step, (sx, sy, sz), (tx, ty, tz) = _search_core(
         coords, src_idx, tgt_idx, cutoff, box, inv, corrections, dims, cap, pbc
     )
     n = src_idx.shape[0]
 
     def body(o, acc):
         hit_acc, mem_acc = acc
-        cells = jax.lax.dynamic_index_in_dim(nb_ids, o, axis=1, keepdims=False)
-        members, h = step(cells)
+        members, h = step(o)
         return (
             jax.lax.dynamic_update_index_in_dim(hit_acc, h, o, axis=1),
             jax.lax.dynamic_update_index_in_dim(mem_acc, members, o, axis=1),

@@ -1,0 +1,183 @@
+"""Adversarial device-vs-host parity for the cell-grid search.
+
+Knife-edge cases the random scenes in test_neighbor_device.py cannot hit:
+exact ties at the cutoff (the inclusive d^2 <= cutoff^2 contract,
+distance_search.rs:287), tiny periodic grids where multiple images of the
+same cell are in range, triclinic boxes with correction candidates, and the
+sparse-target path's padding rows.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from molar_tpu.core.pbc import PBC_FULL, PeriodicBox
+from molar_tpu.ops import neighbor, neighbor_host
+
+
+def _device_within(coords, src, tgt, cutoff, box, **kw):
+    kw.setdefault("dims", neighbor.grid_dims(box.box_extents(), cutoff))
+    mask, ofl = neighbor.within_mask(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=cutoff,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        **kw,
+    )
+    assert not bool(ofl)
+    return src[np.asarray(mask)]
+
+
+def test_tie_exactly_at_cutoff_included():
+    # dx = 0.5 is exact in f32; the inclusive cutoff must keep it, and
+    # dx = 0.5 + 2^-10 (also exact) must drop it.
+    box = PeriodicBox(np.diag([4.0, 4.0, 4.0]).astype(np.float32))
+    eps = 2.0**-10
+    coords = np.array(
+        [
+            [1.0, 1.0, 1.0],         # target
+            [1.5, 1.0, 1.0],         # exactly at cutoff
+            [1.5 + eps, 1.0, 1.0],   # just outside
+            [1.0, 1.5, 1.0],         # tie on y
+            [1.0, 1.0, 1.5 + eps],   # outside on z
+        ],
+        dtype=np.float32,
+    )
+    src = np.arange(1, 5)
+    tgt = np.array([0])
+    got = _device_within(coords, src, tgt, 0.5, box, cap=8)
+    assert got.tolist() == [1, 3]
+    want = neighbor_host.search_within(0.5, coords, src, tgt, box, PBC_FULL)
+    assert np.array_equal(got, want)
+
+
+def test_tie_across_periodic_boundary():
+    # Partner through the boundary at exactly the cutoff: 3.75 -> 0.25 with
+    # box 4.0 is a min-image dx of exactly -0.5 (all exact in f32).
+    box = PeriodicBox(np.diag([4.0, 4.0, 4.0]).astype(np.float32))
+    coords = np.array(
+        [[3.75, 2.0, 2.0], [0.25, 2.0, 2.0], [0.25 + 2.0**-10, 2.0, 2.0]],
+        dtype=np.float32,
+    )
+    src = np.array([1, 2])
+    tgt = np.array([0])
+    got = _device_within(coords, src, tgt, 0.5, box, cap=8)
+    assert got.tolist() == [1]
+    want = neighbor_host.search_within(0.5, coords, src, tgt, box, PBC_FULL)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("side,n", [(0.9, 40), (1.7, 80), (2.6, 120)])
+def test_tiny_periodic_grids_match_host(side, n):
+    # dims = 1 or 2 per axis: several images of the same cell are in range;
+    # the shift path must enumerate them all (no dedupe) to match min-image.
+    rng = np.random.default_rng(int(side * 100))
+    box = PeriodicBox(np.diag([side] * 3).astype(np.float32))
+    coords = rng.uniform(-side, 2 * side, (n, 3)).astype(np.float32)
+    src = np.arange(n)
+    tgt = rng.choice(n, max(n // 5, 3), replace=False)
+    tgt.sort()
+    for cutoff in (0.3, min(0.45, side / 2)):
+        got = _device_within(coords, src, tgt, cutoff, box, cap=n)
+        want = neighbor_host.search_within(cutoff, coords, src, tgt, box, PBC_FULL)
+        assert np.array_equal(got, want), (side, cutoff)
+
+
+def test_triclinic_pairs_sorted_identity():
+    # Full sorted pair-list identity (not just counts) on a skewed box that
+    # exercises the correction-candidate sweep.
+    box = PeriodicBox.from_vectors_angles(3.0, 3.2, 3.4, 75.0, 80.0, 70.0)
+    rng = np.random.default_rng(11)
+    coords = rng.uniform(-1, 5, (300, 3)).astype(np.float32)
+    src = np.arange(300)
+    tgt = np.arange(0, 300, 3)
+    cutoff = 0.6
+    dims = neighbor.grid_dims(box.box_extents(), cutoff)
+    pairs, dist, count, ofl = neighbor.contact_pairs(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=cutoff,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        corrections=jnp.asarray(box.padded_corrections()),
+        dims=dims,
+        cap=128,
+        max_pairs=1 << 14,
+    )
+    assert not bool(ofl)
+    got = np.asarray(pairs)
+    got = got[got[:, 0] >= 0]
+    got = got[np.lexsort((got[:, 1], got[:, 0]))]
+    hp, hd = neighbor_host.search_pairs(cutoff, coords, src, tgt, box, PBC_FULL)
+    hp_sorted = hp[np.lexsort((hp[:, 1], hp[:, 0]))]
+    assert np.array_equal(got, hp_sorted)
+
+
+def test_contact_pairs_shift_path_distances():
+    # corrections=None + dims >= 3 takes the lattice-shift step; distances
+    # must equal the host's min-image distances for every pair.
+    box = PeriodicBox(np.diag([4.0, 4.5, 5.0]).astype(np.float32))
+    rng = np.random.default_rng(23)
+    coords = rng.uniform(-2, 7, (400, 3)).astype(np.float32)
+    src = np.arange(400)
+    tgt = np.arange(0, 400, 4)
+    cutoff = 0.7
+    dims = neighbor.grid_dims(box.box_extents(), cutoff)
+    assert min(dims) >= 3
+    pairs, dist, count, ofl = neighbor.contact_pairs(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=cutoff,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        dims=dims,
+        cap=64,
+        max_pairs=1 << 14,
+    )
+    assert not bool(ofl)
+    got = np.asarray(pairs)
+    keep = got[:, 0] >= 0
+    got_d = {tuple(p): d for p, d in zip(got[keep].tolist(), np.asarray(dist)[keep])}
+    hp, hd = neighbor_host.search_pairs(cutoff, coords, src, tgt, box, PBC_FULL)
+    want_d = {tuple(p): d for p, d in zip(hp.tolist(), hd.tolist())}
+    assert set(got_d) == set(want_d)
+    for p, d in want_d.items():
+        assert abs(got_d[p] - d) < 1e-5
+
+
+def test_sparse_target_padding_rows_do_not_hit():
+    # max_tgt_cells far above the occupied count: the padding rows gather
+    # cell 0's plane slots and must not produce hits anywhere.
+    box = PeriodicBox(np.diag([6.0, 6.0, 6.0]).astype(np.float32))
+    rng = np.random.default_rng(7)
+    coords = rng.uniform(0, 6, (500, 3)).astype(np.float32)
+    # Put a target clump in one corner; sources everywhere.
+    coords[:10] = rng.uniform(0.0, 0.4, (10, 3)).astype(np.float32)
+    src = np.arange(500)
+    tgt = np.arange(10)
+    cutoff = 0.5
+    got = _device_within(
+        coords, src, tgt, cutoff, box, cap=32, tgt_cap=16, max_tgt_cells=512
+    )
+    want = neighbor_host.search_within(cutoff, coords, src, tgt, box, PBC_FULL)
+    assert np.array_equal(got, want)
+
+
+def test_sparse_vs_dense_paths_agree():
+    box = PeriodicBox(np.diag([5.0, 5.0, 5.0]).astype(np.float32))
+    rng = np.random.default_rng(31)
+    coords = rng.uniform(0, 5, (600, 3)).astype(np.float32)
+    src = np.arange(600)
+    tgt = rng.choice(600, 50, replace=False)
+    tgt.sort()
+    cutoff = 0.45
+    dense = _device_within(coords, src, tgt, cutoff, box, cap=32, tgt_cap=16)
+    sparse = _device_within(
+        coords, src, tgt, cutoff, box, cap=32, tgt_cap=16, max_tgt_cells=256
+    )
+    assert np.array_equal(dense, sparse)
