@@ -240,16 +240,22 @@ def main() -> int:
                     dims=dims, cap=cap, tgt_cap=tcap,
                     max_tgt_cells=max_tgt_cells,
                 )
-                return carry, (rmsd, jnp.sum(mask), overflow)
+                # Identity checksum (uint32 wraparound weighted sum): catches
+                # any per-frame membership difference, not just the count.
+                chk = jnp.sum(
+                    jnp.where(mask, (aidx_j + 1).astype(jnp.uint32), 0),
+                    dtype=jnp.uint32,
+                )
+                return carry, (rmsd, jnp.sum(mask), chk, overflow)
 
             # lax.scan over the window: one compiled frame body instead of a
             # B-wide vmapped graph (which took >10 min of XLA compile at
             # B=32; the per-frame kernel already saturates the chip, so
             # sequential frames lose no throughput).
-            _, (rmsd, cnt, ofl) = jax.lax.scan(
+            _, (rmsd, cnt, chk, ofl) = jax.lax.scan(
                 per_frame, 0, (coords, boxes, invs)
             )
-            return rmsd, cnt, ofl
+            return rmsd, cnt, chk, ofl
 
         return window_fn
 
@@ -278,16 +284,28 @@ def main() -> int:
         t0 = time.perf_counter()
         results, retried = run_with_overflow_retry(
             reader, args.window, cached_build, n_tiers=4,
-            overflow_of=lambda r: r[2], quantized=quant_mode,
+            overflow_of=lambda r: r[3], quantized=quant_mode,
         )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)
         rmsds = [np.asarray(r[0]) for _, r in results]
         counts = [np.asarray(r[1]) for _, r in results]
+        checksums = [np.asarray(r[2]) for _, r in results]
         fps = max(fps, n_done / elapsed)
         print(f"# device loop {rep}: {n_done} frames in {elapsed:.2f}s "
               f"({retried} windows retried)", file=sys.stderr)
     overflowed = False
+
+    # Device-compute-only rate: the same window program on resident data
+    # (no decode, no H2D) — separates chip capability from tunnel weather.
+    res_args = tuple(jax.device_put(jnp.asarray(x)) for x in first[:4])
+    _ = jax.block_until_ready(window_fn0(*res_args))
+    t0 = time.perf_counter()
+    reps_c = 3
+    for _ in range(reps_c):
+        out = jax.block_until_ready(window_fn0(*res_args))
+    compute_fps = reps_c * len(first[0]) / (time.perf_counter() - t0)
+    print(f"# device compute-only fps={compute_fps:.2f}", file=sys.stderr)
 
     # Single-core native baseline: C++ reimplementation of the reference's
     # own per-frame algorithm (decode + Kabsch + half-stencil cell search),
@@ -312,13 +330,30 @@ def main() -> int:
     host_fps = n_host / (time.perf_counter() - t0)
     h.close()
 
-    # Sanity: device results match host on frame 0.
+    # Sanity: per-frame membership identity vs host on first / middle / last
+    # frames — the uint32 weighted checksum catches any set difference, not
+    # just a matching count (NOTE: counts alone could mask compensating
+    # errors).
+    flat_counts = np.concatenate(counts)
+    flat_chks = np.concatenate(checksums)
+    h2 = XtcHandler(xtc_path)
+    parity = 0
+    check_frames = sorted({0, h2.n_frames // 2, h2.n_frames - 1})
+    for k in check_frames:
+        stk = h2.read_frame(k)
+        hostk = neighbor_host.search_within(
+            args.cutoff, stk.coords, all_idx, protein_idx, stk.box, PBC_FULL
+        )
+        chk_host = np.sum((hostk.astype(np.uint32) + np.uint32(1)),
+                          dtype=np.uint32)
+        parity += int(flat_counts[k] != len(hostk))
+        parity += int(np.uint32(flat_chks[k]) != chk_host)
+    h2.close()
     st0 = XtcHandler(xtc_path).read_frame(0)
     host_within = neighbor_host.search_within(
         args.cutoff, st0.coords, all_idx, protein_idx, st0.box, PBC_FULL
     )
-    dev_count = int(counts[0][0])
-    parity = abs(dev_count - len(host_within))
+    dev_count = int(flat_counts[0])
     native_parity = (
         abs((native_within0 or 0) - len(host_within)) if native_fps else None
     )
@@ -343,11 +378,13 @@ def main() -> int:
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / denom, 2),
+                "device_compute_fps": round(compute_fps, 2),
                 "baseline_native_1core_fps": round(native_fps, 2)
                 if native_fps
                 else None,
                 "baseline_numpy_1core_fps": round(host_fps, 2),
                 "windows_retried": retried,
+                "parity_frames_checked": check_frames,
             }
         )
     )

@@ -54,16 +54,38 @@ def main() -> int:
 
         from molar_tpu.ops import neighbor
 
+        inv = st.box.inv
+        frac = (st.coords @ inv.T) % 1.0
         for nres in args.targets:
-            tgt = jnp.asarray(np.nonzero(resindex < nres)[0])
+            tgt_np = np.nonzero(resindex < nres)[0]
+            tgt = jnp.asarray(tgt_np)
             aidx = jnp.arange(sys_.n_atoms)
             for cutoff in args.cutoffs:
                 dims = neighbor.grid_dims(st.box.box_extents(), cutoff)
+                # Caps sized from the frame's occupancy (+25%, multiple of 8):
+                # a fixed cap both wastes block width at small cutoffs and
+                # overflows at large ones (dims -> 1 puts everything in one
+                # cell).
+                cell = tuple(
+                    np.minimum((frac[:, d] * dims[d]).astype(np.int64),
+                               dims[d] - 1)
+                    for d in range(3)
+                )
+                flat = (cell[0] * dims[1] + cell[1]) * dims[2] + cell[2]
+                n_cells = dims[0] * dims[1] * dims[2]
+                cap = int(np.bincount(flat, minlength=n_cells).max())
+                tcap = int(
+                    np.bincount(flat[tgt_np], minlength=n_cells).max()
+                )
+                cap = (int(cap * 1.25) + 2 + 7) // 8 * 8
+                tcap = (int(tcap * 1.25) + 2 + 7) // 8 * 8
                 f = jax.jit(
-                    lambda c: neighbor.within_mask(
-                        c, aidx, tgt, cutoff=cutoff,
+                    lambda c, _cut=cutoff, _dims=dims, _cap=cap, _tcap=tcap,
+                    _tgt=tgt: neighbor.within_mask(
+                        c, aidx, _tgt, cutoff=_cut,
                         box=jnp.asarray(st.box.matrix),
-                        inv=jnp.asarray(st.box.inv), dims=dims, cap=512,
+                        inv=jnp.asarray(st.box.inv), dims=_dims, cap=_cap,
+                        tgt_cap=_tcap,
                     )
                 )
                 mask, ofl = jax.block_until_ready(f(jnp.asarray(st.coords)))

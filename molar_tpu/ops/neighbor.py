@@ -332,6 +332,101 @@ def _cells_shift(cx, cy, cz, off, dims, pbc, box, dtype):
     return cells, (shx, shy, shz), ok
 
 
+def _ghost_planes(vals, flat_pad, dims, cap: int, box, pbc, fill):
+    """Scatter component planes into a ghost-padded
+    ``(nx+2, ny+2, nz+2, cap)`` grid and fill the ghost faces with wrapped
+    copies whose coordinates are pre-shifted by the corresponding box vector.
+
+    After this, the 27-offset stencil needs NO gathers, NO per-pair image
+    math, and NO validity masks: each offset's neighbor block is a contiguous
+    ``dynamic_slice``, wrapped images carry pre-shifted coordinates, and
+    non-periodic out-of-range faces keep the sentinel fill (no hits).
+
+    ``vals``: [x, y, z] per-point planes. ``flat_pad``: padded flat cell id
+    per point. Returns ([3 padded planes], overflow).
+    """
+    nx, ny, nz = dims
+    px, py, pz = nx + 2, ny + 2, nz + 2
+    order = jnp.argsort(flat_pad)
+    sorted_flat = flat_pad[order]
+    rank = _rank_in_run(sorted_flat)
+    overflow = jnp.any(rank >= cap)
+    slot = sorted_flat * cap + jnp.minimum(rank, cap - 1)
+    out = []
+    for d, v in enumerate(vals):
+        p = (
+            jnp.full((px * py * pz * cap,), fill, dtype=v.dtype)
+            .at[slot]
+            .set(v[order], indices_are_sorted=True, unique_indices=True)
+            .reshape(px, py, pz, cap)
+        )
+        # Ghost faces, axis by axis (x, then y with x-ghosts, then z with
+        # both) so edges and corners compose the right multi-axis shifts.
+        if pbc[0]:
+            p = p.at[0].set(p[nx] - box[d, 0])
+            p = p.at[nx + 1].set(p[1] + box[d, 0])
+        if pbc[1]:
+            p = p.at[:, 0].set(p[:, ny] - box[d, 1])
+            p = p.at[:, ny + 1].set(p[:, 1] + box[d, 1])
+        if pbc[2]:
+            p = p.at[:, :, 0].set(p[:, :, nz] - box[d, 2])
+            p = p.at[:, :, nz + 1].set(p[:, :, 1] + box[d, 2])
+        out.append(p)
+    return out, overflow
+
+
+def _within_ghost(
+    sx, sy, sz, sflat, tx, ty, tz, tcx, tcy, tcz,
+    cutoff, box, dims, cap, tgt_cap, pbc, n_src,
+):
+    """Ghost-padded dense stencil: returns (mask over src order, overflow).
+
+    One (n_cells, cap, tgt_cap) distance block per offset, with the target
+    block obtained as a contiguous dynamic slice of the ghost-padded planes.
+    """
+    n_cells = dims[0] * dims[1] * dims[2]
+    big_s = jnp.asarray(-1e17, sx.dtype)
+    big_t = jnp.asarray(1e17, sx.dtype)
+    (sxb, syb, szb), s_slot, s_order, s_ofl = _blocked_planes(
+        [sx, sy, sz], sflat, n_cells, cap, [big_s, big_s, big_s]
+    )
+    tflat_pad = ((tcx + 1) * (dims[1] + 2) + (tcy + 1)) * (dims[2] + 2) + (
+        tcz + 1
+    )
+    (gx, gy, gz), t_ofl = _ghost_planes(
+        [tx, ty, tz], tflat_pad, dims, tgt_cap, box, pbc, big_t
+    )
+    c2 = jnp.asarray(cutoff, sx.dtype) ** 2
+    offs_j = jnp.asarray(_OFFSETS)
+    sxb3 = sxb[:, :, None]
+    syb3 = syb[:, :, None]
+    szb3 = szb[:, :, None]
+    sizes = (dims[0], dims[1], dims[2], tgt_cap)
+
+    def body(o, hit_blocks):
+        off = offs_j[o] + 1  # slice starts in the padded grid
+        st = (off[0], off[1], off[2], 0)
+        ntx = jax.lax.dynamic_slice(gx, st, sizes).reshape(n_cells, tgt_cap)
+        nty = jax.lax.dynamic_slice(gy, st, sizes).reshape(n_cells, tgt_cap)
+        ntz = jax.lax.dynamic_slice(gz, st, sizes).reshape(n_cells, tgt_cap)
+        dx = ntx[:, None, :] - sxb3
+        dy = nty[:, None, :] - syb3
+        dz = ntz[:, None, :] - szb3
+        d2 = dx * dx + dy * dy + dz * dz
+        return hit_blocks | jnp.any(d2 <= c2, axis=2)
+
+    hit_blocks = jax.lax.fori_loop(
+        0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
+    )
+    hit_sorted = hit_blocks.reshape(-1)[s_slot]
+    mask = (
+        jnp.zeros(n_src, dtype=bool)
+        .at[s_order]
+        .set(hit_sorted, unique_indices=True)
+    )
+    return mask, s_ofl | t_ofl
+
+
 def within_mask(
     coords,
     src_idx,
@@ -345,6 +440,7 @@ def within_mask(
     pbc=(True, True, True),
     tgt_cap: Optional[int] = None,
     max_tgt_cells: Optional[int] = None,
+    ghost: bool = False,
 ):
     """Boolean mask over ``src_idx``: has >= 1 partner in ``tgt_idx`` within
     cutoff (min-image). One frame; vmap over a leading frame axis for windows.
@@ -374,8 +470,11 @@ def within_mask(
     """
     tgt_cap = tgt_cap or cap
     n_cells = dims[0] * dims[1] * dims[2]
-    src = coords[src_idx]
-    tgt = coords[tgt_idx]
+    # Per-component 1-D gathers: a (n, 3) row gather lowers poorly on TPU
+    # (slow compile AND a real gather for what is often the identity).
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    src = jnp.stack([x[src_idx], y[src_idx], z[src_idx]], axis=-1)
+    tgt = jnp.stack([x[tgt_idx], y[tgt_idx], z[tgt_idx]], axis=-1)
     sfx, sfy, sfz = _wrap_frac(src, inv)
     tfx, tfy, tfz = _wrap_frac(tgt, inv)
     sx, sy, sz = _apply3(box, sfx, sfy, sfz)
@@ -388,6 +487,12 @@ def within_mask(
 
     c2 = jnp.asarray(cutoff, src.dtype) ** 2
     offs_j = jnp.asarray(_OFFSETS)
+
+    if corrections is None and ghost:
+        return _within_ghost(
+            sx, sy, sz, sflat, tx, ty, tz, tcx, tcy, tcz,
+            cutoff, box, dims, cap, tgt_cap, pbc, src.shape[0],
+        )
 
     if corrections is None:
         # Shift fast path: sentinel padding (opposite signs so pad-vs-pad
@@ -420,6 +525,12 @@ def within_mask(
             oty = jnp.where(pad, big_t, tyb[occ][:, None, :])
             otz = jnp.where(pad, big_t, tzb[occ][:, None, :])
 
+            # One offset per loop iteration. Grouped (9/27 offsets per
+            # iteration), T-minor transposed, ghost-padded XLA, and three
+            # Pallas variants all measured equal or worse (see
+            # docs/perf_notes.md round-2 kernel campaign) — the stencil is
+            # bound by the (T,) row-gather rate, not by block math or loop
+            # count, and this form has the fastest compile.
             def body(o, hit_blocks):
                 off = offs_j[o]
                 scells, (shx, shy, shz), ok = _cells_shift(

@@ -190,3 +190,188 @@ def within_mask_pallas(
     hit_sorted = out.reshape(-1)[s_slot]
     mask = jnp.zeros(n, dtype=bool).at[s_order].set(hit_sorted)
     return mask, s_ofl | t_ofl
+
+
+# ---------------------------------------------------------------------------
+# Ghost-slab kernel (round 2): ghost-padded target planes + 128-lane z-windows
+# ---------------------------------------------------------------------------
+
+
+def _ghost_kernel(nzq: int, cap: int, tcap: int, c2f: float):
+    """One program per (x, y) cell column, z processed four cells at a time.
+
+    The ghost-padded target planes make every neighbor access a contiguous
+    window: rows i..i+2, j..j+2 cover the x/y neighbors (periodic images
+    have pre-shifted coordinates in the ghost cells). Mosaic requires
+    dynamic lane starts to be 128-multiples, so the z stencil reads an
+    aligned 8-cell (8*tcap-lane) window per *quad* of source cells; each
+    source cell's hits reduce over its static 4-cell sub-window (cells
+    k-1..k+2 — the extra z+2 cell is >= one cell away, so it cannot add
+    hits within the cutoff). No gathers, no per-pair image math, no
+    validity masks (sentinel coordinates).
+    """
+    w = 8 * tcap  # 256 lanes at tcap=32; q*(4*tcap) starts are 128-aligned
+
+    def kernel(qmask, ny_ref, gx, gy, gz, sx, sy, sz, out):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        c2 = jnp.float32(c2f)
+        bits = qmask[i * ny_ref[0] + j]
+
+        # Static quad unroll: every lane offset, slice, and store row is a
+        # compile-time constant — dynamic lane addressing measured ~2x the
+        # whole kernel in scalar-core overhead.
+        for q in range(nzq // 4):
+            live = (bits >> q) & 1
+            lo = q * 4 * tcap
+
+            # Most (column, quad) windows contain no target atoms at all
+            # (~75-90% on the solvated-protein headline workload): the
+            # bitmask makes them a 4-row zero store instead of 9 blocks.
+            @pl.when(live == 1)
+            def _(q=q, lo=lo):
+                sxq = sx[0, 0, 4 * q: 4 * q + 4, :]  # (4, cap)
+                syq = sy[0, 0, 4 * q: 4 * q + 4, :]
+                szq = sz[0, 0, 4 * q: 4 * q + 4, :]
+                hit = jnp.zeros((4, cap, w), dtype=jnp.bool_)
+                for a in range(3):
+                    for b in range(3):
+                        ddx = gx[i + a, j + b, lo: lo + w][None, None, :] - sxq[:, :, None]
+                        ddy = gy[i + a, j + b, lo: lo + w][None, None, :] - syq[:, :, None]
+                        ddz = gz[i + a, j + b, lo: lo + w][None, None, :] - szq[:, :, None]
+                        d2 = ddx * ddx + ddy * ddy + ddz * ddz
+                        hit = hit | (d2 <= c2)
+                for r in range(4):
+                    win = hit[r, :, r * tcap: r * tcap + 4 * tcap]
+                    out[0, 0, 4 * q + r, :] = jnp.any(win, axis=1)
+
+            @pl.when(live == 0)
+            def _(q=q):
+                out[0, 0, 4 * q: 4 * q + 4, :] = jnp.zeros(
+                    (4, cap), dtype=jnp.bool_
+                )
+
+    return kernel
+
+
+def within_ghost_pallas(
+    coords,
+    src_idx,
+    tgt_idx,
+    cutoff: float,
+    box,
+    inv,
+    dims: tuple[int, int, int],
+    cap: int = 32,
+    tgt_cap: int = 32,
+    pbc=(True, True, True),
+    interpret: bool = False,
+):
+    """Within mask via the ghost-slab Pallas kernel.
+
+    Same contract as ops.neighbor.within_mask for ``corrections is None``
+    (any box matrix whose images are covered by +-1 cell shifts; triclinic
+    correction sweeps fall back to the XLA path). ``tgt_cap`` is rounded up
+    to a multiple of 32 by the caller for the 128-lane z-window.
+    """
+    from .neighbor import (
+        _apply3,
+        _blocked_planes,
+        _cell3,
+        _ghost_planes,
+        _wrap_frac,
+    )
+
+    nx, ny, nz = dims
+    n_cells = nx * ny * nz
+    n = src_idx.shape[0]
+
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    src = jnp.stack([x[src_idx], y[src_idx], z[src_idx]], axis=-1)
+    tgt = jnp.stack([x[tgt_idx], y[tgt_idx], z[tgt_idx]], axis=-1)
+    sfx, sfy, sfz = _wrap_frac(src, inv)
+    tfx, tfy, tfz = _wrap_frac(tgt, inv)
+    sx, sy, sz = _apply3(box, sfx, sfy, sfz)
+    tx, ty, tz = _apply3(box, tfx, tfy, tfz)
+    scx, scy, scz = _cell3(sfx, sfy, sfz, dims)
+    sflat = (scx * ny + scy) * nz + scz
+    tcx, tcy, tcz = _cell3(tfx, tfy, tfz, dims)
+
+    big_s = jnp.asarray(-1e17, src.dtype)
+    big_t = jnp.asarray(1e17, src.dtype)
+    (sxb, syb, szb), s_slot, s_order, s_ofl = _blocked_planes(
+        [sx, sy, sz], sflat, n_cells, cap, [big_s, big_s, big_s]
+    )
+    if tgt_cap % 32:
+        raise ValueError("within_ghost_pallas requires tgt_cap % 32 == 0")
+    if ((nz + 3) // 4 * 4) // 4 > 31:
+        raise ValueError("within_ghost_pallas supports nz <= 121 (int32 quad mask)")
+    tflat_pad = ((tcx + 1) * (ny + 2) + (tcy + 1)) * (nz + 2) + (tcz + 1)
+    (gx, gy, gz), t_ofl = _ghost_planes(
+        [tx, ty, tz], tflat_pad, dims, tgt_cap, box, pbc, big_t
+    )
+    # z padded to a quad multiple (+4 ghost/pad slots) so the kernel's
+    # aligned 8-cell windows never run off the end.
+    nzq = (nz + 3) // 4 * 4
+    pad_z = nzq + 4 - (nz + 2)
+    pad_cfg = ((0, 0), (0, 0), (0, pad_z), (0, 0))
+    gx = jnp.pad(gx, pad_cfg, constant_values=1e17)
+    gy = jnp.pad(gy, pad_cfg, constant_values=1e17)
+    gz = jnp.pad(gz, pad_cfg, constant_values=1e17)
+    lz = (nzq + 4) * tgt_cap
+    gx = gx.reshape(nx + 2, ny + 2, lz)
+    gy = gy.reshape(nx + 2, ny + 2, lz)
+    gz = gz.reshape(nx + 2, ny + 2, lz)
+
+    def col(a):
+        a = a.reshape(nx, ny, nz, cap)
+        if nzq != nz:
+            a = jnp.pad(
+                a, ((0, 0), (0, 0), (0, nzq - nz), (0, 0)),
+                constant_values=-1e17,
+            )
+        return a
+
+    # Per-(column, quad) occupancy bitmask: does the 3x3 xy-neighborhood x
+    # 8-cell z window contain ANY target atom? Cheap XLA dilation over the
+    # ghost occupancy; lets the kernel skip the ~90% of windows that are
+    # pure solvent-vs-nothing on sparse-target workloads.
+    nq = nzq // 4
+    occ = (gx.reshape(nx + 2, ny + 2, nzq + 4, tgt_cap) != big_t).any(-1)
+    occ = occ[:nx, :, :] | occ[1: nx + 1, :, :] | occ[2: nx + 2, :, :]
+    occ = occ[:, :ny, :] | occ[:, 1: ny + 1, :] | occ[:, 2: ny + 2, :]
+    quad_any = occ.reshape(nx, ny, nq + 1, 4).any(-1)
+    live = quad_any[:, :, :nq] | quad_any[:, :, 1:]
+    qmask = jnp.sum(
+        live.astype(jnp.int32) << jnp.arange(nq, dtype=jnp.int32)[None, None, :],
+        axis=-1,
+        dtype=jnp.int32,
+    ).reshape(nx * ny)
+
+    ghost_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    src_spec = pl.BlockSpec(
+        (1, 1, nzq, cap), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _ghost_kernel(nzq, cap, tgt_cap, float(cutoff) ** 2),
+        grid=(nx, ny),
+        in_specs=[smem_spec, smem_spec,
+                  ghost_spec, ghost_spec, ghost_spec,
+                  src_spec, src_spec, src_spec],
+        out_specs=pl.BlockSpec(
+            (1, 1, nzq, cap), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, nzq, cap), jnp.bool_),
+        interpret=interpret,
+    )(qmask, jnp.asarray([ny], jnp.int32), gx, gy, gz,
+      col(sxb), col(syb), col(szb))
+
+    hit_sorted = out[:, :, :nz].reshape(-1)[s_slot]
+    mask = (
+        jnp.zeros(n, dtype=bool)
+        .at[s_order]
+        .set(hit_sorted, unique_indices=True)
+    )
+    return mask, s_ofl | t_ofl

@@ -18,6 +18,7 @@ from .parser import SelectionSyntaxError, parse
 
 __all__ = [
     "SelectionExpr",
+    "FrameSelection",
     "SelectionSyntaxError",
     "SelectionEvalError",
     "parse",
@@ -62,3 +63,97 @@ class SelectionExpr:
 
     def __repr__(self) -> str:
         return f"SelectionExpr({self.text!r})"
+
+
+class FrameSelection:
+    """Uniform per-frame selection evaluator for trajectory tasks.
+
+    Routes through the best available engine, in order:
+
+    1. state-independent expressions evaluate once (index array cached);
+    2. state-dependent expressions the device compiler accepts become a
+       jitted ``(coords, box, inv) -> mask`` function (``.compiled``), usable
+       inside a window program and vmappable over a frame window;
+    3. everything else (dynamic ``same``, ``com of`` vectors,
+       velocities/forces — see :class:`selection.compiled.CompileUnsupported`)
+       transparently falls back to host re-evaluation per frame, so a
+       streaming task keeps working at host speed instead of failing.
+
+    The reference re-evaluates state-dependent selections per frame on the
+    host unconditionally (selection_expr.rs ``Precomputed`` caches only
+    coord-independent subtrees); this class is the TPU-era version of that
+    contract with the device path as the fast tier.
+    """
+
+    def __init__(self, expr, topology, state0, cutoff_params=None):
+        if isinstance(expr, str):
+            expr = SelectionExpr(expr)
+        self.expr = expr
+        self.topology = topology
+        self.static_idx: Optional[np.ndarray] = None
+        self.compiled = None
+        if not expr.is_state_dependent:
+            self.static_idx = expr.apply(topology, state0)
+        else:
+            from .compiled import CompileUnsupported
+
+            try:
+                self.compiled = expr.compile_device(
+                    topology, state0, cutoff_params
+                )
+            except CompileUnsupported:
+                self.compiled = None  # host fallback per frame
+
+    @property
+    def tier(self) -> str:
+        if self.static_idx is not None:
+            return "static"
+        return "device" if self.compiled is not None else "host"
+
+    def eval_frame(self, state) -> np.ndarray:
+        """Sorted global indices selected in ``state`` (host-side answer)."""
+        if self.static_idx is not None:
+            return self.static_idx
+        if self.compiled is not None:
+            import jax.numpy as jnp
+
+            box = state.box
+            b = jnp.asarray(box.matrix) if box is not None else None
+            i = jnp.asarray(box.inv) if box is not None else None
+            mask = self.compiled(jnp.asarray(state.coords), b, i)
+            return np.nonzero(np.asarray(mask))[0]
+        return self.expr.apply(self.topology, state)
+
+    def eval_window(self, coords, boxes, invs) -> np.ndarray:
+        """(B, n_atoms) boolean masks for a window of frames.
+
+        Device tier: one vmapped jitted call over the window. Host tier:
+        per-frame re-evaluation (the documented fallback; throughput is the
+        host evaluator's). Static tier: the constant mask broadcast.
+        """
+        n = self.topology.n_atoms
+        coords_np = np.asarray(coords)
+        B = coords_np.shape[0]
+        if self.static_idx is not None:
+            m = np.zeros(n, dtype=bool)
+            m[self.static_idx] = True
+            return np.broadcast_to(m, (B, n)).copy()
+        if self.compiled is not None:
+            import jax
+            import jax.numpy as jnp
+
+            masks = jax.vmap(self.compiled)(
+                jnp.asarray(coords), jnp.asarray(boxes), jnp.asarray(invs)
+            )
+            return np.asarray(masks)
+        from ..core.pbc import PeriodicBox
+        from ..core.state import State
+
+        out = np.zeros((B, n), dtype=bool)
+        for k in range(B):
+            st = State(
+                coords=coords_np[k],
+                box=PeriodicBox(np.asarray(boxes[k])),
+            )
+            out[k, self.expr.apply(self.topology, st)] = True
+        return out
