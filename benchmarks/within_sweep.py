@@ -24,6 +24,11 @@ def main() -> int:
                     help="number of leading residues in the target selection")
     ap.add_argument("--device", action="store_true", help="time the jitted kernel")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--host-max-cutoff", type=float, default=1.5,
+                    help="skip host timing above this cutoff: near-single-cell "
+                    "grids make the host search O(n*m) per rep (protein.pdb at "
+                    "4.2 nm measured >25 min), while the device grid stays "
+                    "fixed-shape")
     args = ap.parse_args()
 
     from molar_tpu import PBC_FULL, System
@@ -38,6 +43,8 @@ def main() -> int:
         if len(tgt) == 0:
             continue
         for cutoff in args.cutoffs:
+            if cutoff > args.host_max_cutoff:
+                continue
             t0 = time.perf_counter()
             for _ in range(args.reps):
                 found = neighbor_host.search_within(

@@ -192,7 +192,10 @@ def wl_sasa(system, xtc, window):
     seg = jnp.asarray(sel.segment_ids())
     nseg = int(seg[-1]) + 1
     idx = sel.indices
-    skin = 0.3
+    # skin/2 must cover the drift a window can accumulate from its own first
+    # frame (rebuilds happen at window granularity): sigma 0.01/frame over a
+    # 16-frame window measured ~0.17 nm max displacement at 4k atoms.
+    skin = 0.5
 
     @jax.jit
     def fn(coords, nbj, build_coords):
@@ -245,6 +248,30 @@ def wl_sasa(system, xtc, window):
         outs.append(out)
         n += len(ids)
     jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
+def wl_trjconv(system, xtc):
+    """The reference's trjconv workload (comparison_small.rs:44-57): stream
+    the XTC, write the protein selection to DCD per frame. Host-IO-bound by
+    design — it measures the decode/write path, not the device."""
+    from molar_tpu.core.state import State
+    from molar_tpu.io.dcd import DcdHandler
+    from molar_tpu.io.xtc import XtcHandler
+
+    sel = system("resname ALA")
+    idx = sel.indices
+    out_path = os.path.join(tempfile.mkdtemp(prefix="molar_trjconv_"), "out.dcd")
+    r = XtcHandler(xtc)
+    w = DcdHandler(out_path, "w")
+    n = 0
+    t0 = time.perf_counter()
+    for k in range(r.n_frames):
+        st = r.read_frame(k)
+        w.write(system.topology, st, indices=idx)
+        n += 1
+    w.close()
+    r.close()
     return n, time.perf_counter() - t0
 
 
@@ -310,7 +337,7 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
-                             "sasa", "membrane"])
+                             "sasa", "membrane", "trjconv"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (the axon TPU plugin "
                     "ignores JAX_PLATFORMS)")
@@ -337,6 +364,7 @@ def main() -> int:
         "contacts": lambda: wl_contacts(system, xtc, args.window),
         "sasa": lambda: wl_sasa(system, xtc, args.window),
         "membrane": lambda: wl_membrane(),
+        "trjconv": lambda: wl_trjconv(system, xtc),
     }
     out = {}
     for name, job in jobs.items():

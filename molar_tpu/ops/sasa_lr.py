@@ -158,10 +158,11 @@ def sasa(
         los = jnp.concatenate([lo1, jnp.minimum(lo2, lo3)], axis=2)
         his = jnp.concatenate([hi1, jnp.maximum(hi2, hi3)], axis=2)
 
-        # union sweep: sort by lo, running cummax of hi
-        order = jnp.argsort(los, axis=2)
-        lo_s = jnp.take_along_axis(los, order, axis=2)
-        hi_s = jnp.take_along_axis(his, order, axis=2)
+        # union sweep: sort by lo, running cummax of hi. Key-value lax.sort
+        # (not argsort + take_along_axis: the two (B, S, 2K) computed-index
+        # gathers were both slow and implicated in a TPU worker crash at
+        # K ~ 300 on the 50k-atom workload).
+        lo_s, hi_s = jax.lax.sort((los, his), dimension=2, num_keys=1)
         cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=2)
         prev = jnp.concatenate(
             [jnp.full(cum[:, :, :1].shape, -pi), cum[:, :, :-1]], axis=2

@@ -181,3 +181,19 @@ def test_sparse_vs_dense_paths_agree():
         coords, src, tgt, cutoff, box, cap=32, tgt_cap=16, max_tgt_cells=256
     )
     assert np.array_equal(dense, sparse)
+
+
+@pytest.mark.parametrize("side,cutoff", [(5.0, 0.5), (1.7, 0.4)])
+def test_ghost_xla_path_matches_host(side, cutoff):
+    # The ghost=True XLA variant (dynamic-slice stencil over ghost-padded
+    # planes) must agree with the host on normal and tiny grids.
+    rng = np.random.default_rng(int(side * 10))
+    box = PeriodicBox(np.diag([side, side * 1.1, side * 1.2]).astype(np.float32))
+    n = 400
+    coords = rng.uniform(-side, 2 * side, (n, 3)).astype(np.float32)
+    src = np.arange(n)
+    tgt = rng.choice(n, n // 5, replace=False)
+    tgt.sort()
+    got = _device_within(coords, src, tgt, cutoff, box, cap=n, ghost=True)
+    want = neighbor_host.search_within(cutoff, coords, src, tgt, box, PBC_FULL)
+    assert np.array_equal(got, want)
