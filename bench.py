@@ -140,6 +140,9 @@ def main() -> int:
                     "bit-exact; falls back to i16 when deltas exceed int8)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed passes over the trajectory; best fps reported")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the first timed "
+                    "pass into DIR (inspect with tensorboard or perfetto)")
     ap.add_argument("--host-frames", type=int, default=2,
                     help="frames used to time the single-core host baseline")
     args = ap.parse_args()

@@ -79,6 +79,29 @@ def _windows(xtc, window):
     return TrajectoryReader([xtc]).iter_windows(window)
 
 
+def _timed_stream(fn, xtc, window):
+    """Warm up (compile) on the first window, then time a full pass.
+
+    The axon compile service takes 3-15 min per new HLO and its persistent
+    cache misses unreliably; folding that into the fps makes the table read
+    compile time, not throughput."""
+    import jax
+
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        jax.block_until_ready(
+            fn(jax.device_put(coords), boxes, invs, times)
+        )
+        break
+    n = 0
+    outs = []
+    t0 = time.perf_counter()
+    for coords, boxes, invs, times, ids in _windows(xtc, window):
+        outs.append(fn(jax.device_put(coords), boxes, invs, times))
+        n += len(ids)
+    jax.block_until_ready(outs)
+    return n, time.perf_counter() - t0
+
+
 def wl_ca_rmsd(system, xtc, window):
     import jax
     import jax.numpy as jnp
@@ -98,14 +121,7 @@ def wl_ca_rmsd(system, xtc, window):
             return carry, rmsd
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    n = 0
-    outs = []
-    t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
-        outs.append(fn(jax.device_put(coords), boxes, invs, times))
-        n += len(ids)
-    jax.block_until_ready(outs)
-    return n, time.perf_counter() - t0
+    return _timed_stream(fn, xtc, window)
 
 
 def wl_com_splits(system, xtc, window):
@@ -135,14 +151,7 @@ def wl_com_splits(system, xtc, window):
             return carry, (com, jnp.sqrt(g2))
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    n = 0
-    outs = []
-    t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
-        outs.append(fn(jax.device_put(coords), boxes, invs, times))
-        n += len(ids)
-    jax.block_until_ready(outs)
-    return n, time.perf_counter() - t0
+    return _timed_stream(fn, xtc, window)
 
 
 def wl_contacts(system, xtc, window, cutoff=0.4):
@@ -168,14 +177,7 @@ def wl_contacts(system, xtc, window, cutoff=0.4):
             return carry, (cnt, ofl)
         return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
-    n = 0
-    outs = []
-    t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
-        outs.append(fn(jax.device_put(coords), boxes, invs, times))
-        n += len(ids)
-    jax.block_until_ready(outs)
-    return n, time.perf_counter() - t0
+    return _timed_stream(fn, xtc, window)
 
 
 def wl_sasa(system, xtc, window):
@@ -193,9 +195,11 @@ def wl_sasa(system, xtc, window):
     nseg = int(seg[-1]) + 1
     idx = sel.indices
     # skin/2 must cover the drift a window can accumulate from its own first
-    # frame (rebuilds happen at window granularity): sigma 0.01/frame over a
-    # 16-frame window measured ~0.17 nm max displacement at 4k atoms.
-    skin = 0.5
+    # frame (rebuilds happen at window granularity): sigma 0.01/frame over an
+    # 8-frame window is ~0.12 nm max displacement at 4k atoms. A bigger skin
+    # is NOT free: neighbor counts grow as (0.62 + skin)^3 at this density
+    # (skin 0.5 measured K ~ 590 vs ~330 at 0.3).
+    skin = 0.3
 
     @jax.jit
     def fn(coords, nbj, build_coords):
@@ -224,6 +228,12 @@ def wl_sasa(system, xtc, window):
     nbj = jnp.asarray(nb)
     build_j = jnp.asarray(build_c, jnp.float32)
 
+    # Rebuilds happen at window granularity, so the window bounds the drift
+    # the skin must absorb; cap it at 8 frames for this workload.
+    window = min(window, 8)
+    for coords, *_ in _windows(xtc, window):
+        jax.block_until_ready(fn(jax.device_put(coords), nbj, build_j))
+        break  # warmup: compile excluded from the timed pass
     n = 0
     outs = []
     rebuilds = 0

@@ -58,17 +58,22 @@ def neighbor_lists(
     pairs, _ = neighbor_host.search_pairs(
         cut, coords.astype(np.float32), np.arange(n), None, None, PBC_NONE
     )
-    counts = np.zeros(n, np.int64)
-    overflow = False
     d = np.linalg.norm(coords[pairs[:, 0]] - coords[pairs[:, 1]], axis=1)
     keep = d < radii[pairs[:, 0]] + radii[pairs[:, 1]] + skin
-    for a, b in pairs[keep]:
-        for i, j in ((a, b), (b, a)):
-            if counts[i] < cap:
-                out[i, counts[i]] = j
-            else:
-                overflow = True
-            counts[i] += 1
+    kept = pairs[keep]
+    # Vectorized fixed-capacity fill: duplicate each pair in both directions,
+    # sort by owner, rank within the owner's run (a Python loop over the
+    # ~1M pair entries of a dense protein measured seconds per rebuild).
+    owners = np.concatenate([kept[:, 0], kept[:, 1]])
+    others = np.concatenate([kept[:, 1], kept[:, 0]]).astype(np.int32)
+    order = np.argsort(owners, kind="stable")
+    owners_s = owners[order]
+    others_s = others[order]
+    starts = np.searchsorted(owners_s, np.arange(n))
+    rank = np.arange(len(owners_s)) - starts[owners_s]
+    overflow = bool(np.any(rank >= cap))
+    ok = rank < cap
+    out[owners_s[ok], rank[ok]] = others_s[ok]
     return out, overflow
 
 
