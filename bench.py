@@ -282,13 +282,21 @@ def main() -> int:
             built[tier] = build_fn(tier)
         return built[tier]
 
+    import contextlib
+
     fps = 0.0
     for rep in range(max(args.repeats, 1)):
-        t0 = time.perf_counter()
-        results, retried = run_with_overflow_retry(
-            reader, args.window, cached_build, n_tiers=4,
-            overflow_of=lambda r: r[3], quantized=quant_mode,
+        prof = (
+            jax.profiler.trace(args.profile)
+            if args.profile and rep == 0
+            else contextlib.nullcontext()
         )
+        t0 = time.perf_counter()
+        with prof:
+            results, retried = run_with_overflow_retry(
+                reader, args.window, cached_build, n_tiers=4,
+                overflow_of=lambda r: r[3], quantized=quant_mode,
+            )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)
         rmsds = [np.asarray(r[0]) for _, r in results]

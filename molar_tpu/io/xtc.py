@@ -326,6 +326,9 @@ class XtcHandler(FormatHandler):
             if box_matrix is None
             else np.ascontiguousarray(box_matrix.T, dtype=np.float32)
         )
+        # The encoder reads raw f32: a f64 (or strided) array passed through
+        # ctypes writes garbage bytes (caught by the f64-build suite).
+        coords = np.ascontiguousarray(coords, dtype=np.float32)
         out = _u8p()
         n = self._lib.xtc_encode_frame(
             coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -405,7 +405,8 @@ def _within_ghost(
 
     def body(o, hit_blocks):
         off = offs_j[o] + 1  # slice starts in the padded grid
-        st = (off[0], off[1], off[2], 0)
+        # All starts must share one integer type (int64 default under x64).
+        st = (off[0], off[1], off[2], jnp.zeros((), off.dtype))
         ntx = jax.lax.dynamic_slice(gx, st, sizes).reshape(n_cells, tgt_cap)
         nty = jax.lax.dynamic_slice(gy, st, sizes).reshape(n_cells, tgt_cap)
         ntz = jax.lax.dynamic_slice(gz, st, sizes).reshape(n_cells, tgt_cap)

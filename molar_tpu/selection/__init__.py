@@ -117,10 +117,14 @@ class FrameSelection:
         if self.compiled is not None:
             import jax.numpy as jnp
 
+            from ..config import FLOAT
+
             box = state.box
-            b = jnp.asarray(box.matrix) if box is not None else None
-            i = jnp.asarray(box.inv) if box is not None else None
-            mask = self.compiled(jnp.asarray(state.coords), b, i)
+            b = jnp.asarray(box.matrix, FLOAT) if box is not None else None
+            i = jnp.asarray(box.inv, FLOAT) if box is not None else None
+            # Cast to the build float so device membership matches the host
+            # evaluator's precision (XTC windows are f32 even in f64 builds).
+            mask = self.compiled(jnp.asarray(state.coords, FLOAT), b, i)
             return np.nonzero(np.asarray(mask))[0]
         return self.expr.apply(self.topology, state)
 
@@ -142,8 +146,12 @@ class FrameSelection:
             import jax
             import jax.numpy as jnp
 
+            from ..config import FLOAT
+
             masks = jax.vmap(self.compiled)(
-                jnp.asarray(coords), jnp.asarray(boxes), jnp.asarray(invs)
+                jnp.asarray(coords, FLOAT),
+                jnp.asarray(boxes, FLOAT),
+                jnp.asarray(invs, FLOAT),
             )
             return np.asarray(masks)
         from ..core.pbc import PeriodicBox
