@@ -244,6 +244,21 @@ class _RunningStats:
     def std(self):
         return np.sqrt(self.m2 / self.n) if self.n > 1 else np.zeros_like(self.mean)
 
+    def merge(self, other: "_RunningStats") -> None:
+        """Fold another accumulator in (Chan et al. parallel variance) —
+        exact aggregation of per-shard statistics when frames are sharded
+        across chips/processes (BASELINE membrane config)."""
+        if other.n == 0:
+            return
+        if self.n == 0:
+            self.n, self.mean, self.m2 = other.n, other.mean.copy(), other.m2.copy()
+            return
+        n = self.n + other.n
+        d = other.mean - self.mean
+        self.mean = self.mean + d * (other.n / n)
+        self.m2 = self.m2 + other.m2 + d * d * (self.n * other.n / n)
+        self.n = n
+
 
 class LipidGroup:
     """Named lipid container with per-species running stats. Populated via
@@ -448,6 +463,36 @@ class Membrane:
     def finalize(self) -> None:
         for gr in self.groups.values():
             gr.save(self.options.output_dir)
+
+    def merge_stats_from(self, other: "Membrane") -> None:
+        """Fold another Membrane's accumulated group statistics into this one.
+
+        The multi-chip execution shape for the membrane workload is frame
+        sharding: each chip's host streams its slice of the trajectory
+        through its own Membrane and the per-group Welford accumulators merge
+        exactly afterwards (order-independent up to float rounding). Groups
+        and species must match.
+        """
+        if set(self.groups) != set(other.groups):
+            raise MembraneError("cannot merge: group names differ")
+        for name, gr in self.groups.items():
+            ogr = other.groups[name]
+            if gr.species_names != ogr.species_names:
+                raise MembraneError(f"cannot merge group {name!r}: species differ")
+            for sp in gr.species_names:
+                st, ost = gr.per_species[sp], ogr.per_species[sp]
+                for key in ("count", "area", "tilt", "mean_curv",
+                            "gauss_curv", "n_neighbors"):
+                    st[key].merge(ost[key])
+                for s, acc in ost["neib_fractions"].items():
+                    st["neib_fractions"][s].merge(acc)
+                if ost["order"] is not None:
+                    if st["order"] is None:
+                        st["order"] = [
+                            _RunningStats(o.mean.shape) for o in ost["order"]
+                        ]
+                    for mine, theirs in zip(st["order"], ost["order"]):
+                        mine.merge(theirs)
 
     def write_vmd_visualization(self, path: str) -> None:
         """TCL graphics: markers, tail-head vectors, fitted normals, Voronoi

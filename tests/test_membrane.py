@@ -150,3 +150,50 @@ def test_vmd_visualization_export(tmp_path):
     txt = p.read_text()
     assert "draw sphere" in txt and "draw cylinder" in txt
     assert txt.count("draw sphere") >= n
+
+
+def test_merge_stats_matches_single_run(tmp_path):
+    """Frame-sharded execution (BASELINE membrane multi-chip config): two
+    Membranes each consuming half the frames, merged, must equal one
+    Membrane consuming all frames (Welford merge is exact)."""
+    rng = np.random.default_rng(7)
+    base = make_bilayer()
+    frames = [
+        base.state.coords + rng.normal(0, 0.01, base.state.coords.shape).astype(
+            np.float32
+        )
+        for _ in range(6)
+    ]
+
+    def run(frame_list):
+        sys = make_bilayer()
+        memb = Membrane(sys, TOML.format(out=tmp_path))
+        memb.add_ids_to_group("upper", range(len(memb.lipids)))
+        for c in frame_list:
+            sys.state.coords = c
+            memb.compute()
+        return memb
+
+    whole = run(frames)
+    shard_a = run(frames[:3])
+    shard_b = run(frames[3:])
+    shard_a.merge_stats_from(shard_b)
+
+    for name, gr in whole.groups.items():
+        mgr = shard_a.groups[name]
+        for sp in gr.species_names:
+            st, mst = gr.per_species[sp], mgr.per_species[sp]
+            for key in ("count", "area", "tilt", "mean_curv", "gauss_curv",
+                        "n_neighbors"):
+                assert mst[key].n == st[key].n
+                np.testing.assert_allclose(
+                    mst[key].mean, st[key].mean, rtol=1e-10, atol=1e-12
+                )
+                np.testing.assert_allclose(
+                    mst[key].std, st[key].std, rtol=1e-8, atol=1e-10
+                )
+            if st["order"] is not None:
+                for k, acc in enumerate(st["order"]):
+                    np.testing.assert_allclose(
+                        mst["order"][k].mean, acc.mean, rtol=1e-10, atol=1e-12
+                    )
