@@ -66,20 +66,12 @@ def _estimate_caps(xtc_path, box, tgt_idx, dims):
     drift beyond the safety margin is absorbed by the overflow-retry loop
     (tasks.trajectory.run_with_overflow_retry)."""
     from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.ops.neighbor import estimate_caps
 
-    nx, ny, nz = dims
-    inv = box.inv
     h = XtcHandler(xtc_path, "r")
     c0 = h.read_frame(0).coords
     h.close()
-    frac = (c0 @ inv.T) % 1.0
-    cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
-    cy = np.minimum((frac[:, 1] * ny).astype(np.int64), ny - 1)
-    cz = np.minimum((frac[:, 2] * nz).astype(np.int64), nz - 1)
-    cell = (cx * ny + cy) * nz + cz
-    cnt = np.bincount(cell, minlength=nx * ny * nz)
-    tc = np.bincount(cell[tgt_idx], minlength=nx * ny * nz)
-    return int(cnt.max()), int(tc.max()), int((tc > 0).sum())
+    return estimate_caps(c0, box.inv, dims, tgt_idx, margin=1.0)
 
 
 def _native_baseline_fps(xtc_path, n_sel, cutoff, max_frames=None):
@@ -349,6 +341,7 @@ def main() -> int:
     flat_chks = np.concatenate(checksums)
     h2 = XtcHandler(xtc_path)
     parity = 0
+    host_within0 = 0
     check_frames = sorted({0, h2.n_frames // 2, h2.n_frames - 1})
     for k in check_frames:
         stk = h2.read_frame(k)
@@ -359,20 +352,18 @@ def main() -> int:
                           dtype=np.uint32)
         parity += int(flat_counts[k] != len(hostk))
         parity += int(np.uint32(flat_chks[k]) != chk_host)
+        if k == 0:
+            host_within0 = len(hostk)
     h2.close()
-    st0 = XtcHandler(xtc_path).read_frame(0)
-    host_within = neighbor_host.search_within(
-        args.cutoff, st0.coords, all_idx, protein_idx, st0.box, PBC_FULL
-    )
     dev_count = int(flat_counts[0])
     native_parity = (
-        abs((native_within0 or 0) - len(host_within)) if native_fps else None
+        abs((native_within0 or 0) - host_within0) if native_fps else None
     )
     print(
         f"# device fps={fps:.2f} native(1-core C++) fps={native_fps} "
         f"numpy(1-core) fps={host_fps:.2f} "
         f"mean_rmsd={np.concatenate(rmsds).mean():.4f} "
-        f"within0={dev_count} host_within0={len(host_within)} "
+        f"within0={dev_count} host_within0={host_within0} "
         f"parity_diff={parity} native_parity_diff={native_parity}",
         file=sys.stderr,
     )

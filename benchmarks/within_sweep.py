@@ -61,31 +61,18 @@ def main() -> int:
 
         from molar_tpu.ops import neighbor
 
-        inv = st.box.inv
-        frac = (st.coords @ inv.T) % 1.0
         for nres in args.targets:
             tgt_np = np.nonzero(resindex < nres)[0]
             tgt = jnp.asarray(tgt_np)
             aidx = jnp.arange(sys_.n_atoms)
             for cutoff in args.cutoffs:
                 dims = neighbor.grid_dims(st.box.box_extents(), cutoff)
-                # Caps sized from the frame's occupancy (+25%, multiple of 8):
-                # a fixed cap both wastes block width at small cutoffs and
-                # overflows at large ones (dims -> 1 puts everything in one
-                # cell).
-                cell = tuple(
-                    np.minimum((frac[:, d] * dims[d]).astype(np.int64),
-                               dims[d] - 1)
-                    for d in range(3)
+                # Caps sized from the frame's occupancy: a fixed cap both
+                # wastes block width at small cutoffs and overflows at large
+                # ones (dims -> 1 puts everything in one cell).
+                cap, tcap, _ = neighbor.estimate_caps(
+                    st.coords, st.box.inv, dims, tgt_np, margin=1.25
                 )
-                flat = (cell[0] * dims[1] + cell[1]) * dims[2] + cell[2]
-                n_cells = dims[0] * dims[1] * dims[2]
-                cap = int(np.bincount(flat, minlength=n_cells).max())
-                tcap = int(
-                    np.bincount(flat[tgt_np], minlength=n_cells).max()
-                )
-                cap = (int(cap * 1.25) + 2 + 7) // 8 * 8
-                tcap = (int(tcap * 1.25) + 2 + 7) // 8 * 8
                 f = jax.jit(
                     lambda c, _cut=cutoff, _dims=dims, _cap=cap, _tcap=tcap,
                     _tgt=tgt: neighbor.within_mask(

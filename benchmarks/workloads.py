@@ -80,18 +80,23 @@ def _windows(xtc, window):
 
 
 def _timed_stream(fn, xtc, window):
-    """Warm up (compile) on the first window, then time a full pass.
+    """Warm up (compile) every distinct window shape, then time a full pass.
 
     The axon compile service takes 3-15 min per new HLO and its persistent
     cache misses unreliably; folding that into the fps makes the table read
-    compile time, not throughput."""
+    compile time, not throughput. A trajectory whose frame count is not a
+    multiple of ``window`` has a shorter trailing window — a second shape
+    that must be warmed too, or its compile lands inside the clock."""
     import jax
 
+    warmed = set()
     for coords, boxes, invs, times, ids in _windows(xtc, window):
-        jax.block_until_ready(
-            fn(jax.device_put(coords), boxes, invs, times)
-        )
-        break
+        b = len(ids)
+        if b not in warmed:
+            warmed.add(b)
+            jax.block_until_ready(
+                fn(jax.device_put(coords), boxes, invs, times)
+            )
     n = 0
     outs = []
     t0 = time.perf_counter()
@@ -231,9 +236,13 @@ def wl_sasa(system, xtc, window):
     # Rebuilds happen at window granularity, so the window bounds the drift
     # the skin must absorb; cap it at 8 frames for this workload.
     window = min(window, 8)
+    warmed = set()
     for coords, *_ in _windows(xtc, window):
-        jax.block_until_ready(fn(jax.device_put(coords), nbj, build_j))
-        break  # warmup: compile excluded from the timed pass
+        # Warm every distinct window shape (incl. a shorter trailing window)
+        # so no compile lands inside the timed pass.
+        if len(coords) not in warmed:
+            warmed.add(len(coords))
+            jax.block_until_ready(fn(jax.device_put(coords), nbj, build_j))
     n = 0
     outs = []
     rebuilds = 0

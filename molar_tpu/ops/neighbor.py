@@ -297,6 +297,44 @@ def _cell_neighbor_ids(dims, pbc):
     return flat
 
 
+def _unsort_mask(hit_blocks, s_slot, s_order, n):
+    """Per-atom mask from cell-blocked hits: gather each sorted atom's slot,
+    then undo the sort (s_order is a permutation, so indices are unique)."""
+    hit_sorted = hit_blocks.reshape(-1)[s_slot]
+    return (
+        jnp.zeros(n, dtype=bool)
+        .at[s_order]
+        .set(hit_sorted, unique_indices=True)
+    )
+
+
+def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2):
+    """Host-side frame-occupancy capacity estimate for the fixed-capacity
+    cell tables (NOT a trajectory pre-pass — drift beyond the margin is
+    absorbed by the overflow-retry contract).
+
+    Returns (cap, tgt_cap, occupied_tgt_cells) rounded to multiples of 8
+    (stable static shapes => stable XLA cache keys). ``tgt_idx`` None makes
+    the last two 0.
+    """
+    nx, ny, nz = dims
+    frac = (np.asarray(coords, np.float64) @ np.asarray(inv, np.float64).T) % 1.0
+    cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
+    cy = np.minimum((frac[:, 1] * ny).astype(np.int64), ny - 1)
+    cz = np.minimum((frac[:, 2] * nz).astype(np.int64), nz - 1)
+    cell = (cx * ny + cy) * nz + cz
+    n_cells = nx * ny * nz
+
+    def round8(v):
+        return (int(v * margin) + 2 + 7) // 8 * 8
+
+    cap = round8(np.bincount(cell, minlength=n_cells).max())
+    if tgt_idx is None:
+        return cap, 0, 0
+    tc = np.bincount(cell[np.asarray(tgt_idx)], minlength=n_cells)
+    return cap, round8(tc.max()), int((tc > 0).sum())
+
+
 def _cells_shift(cx, cy, cz, off, dims, pbc, box, dtype):
     """Neighbor-cell ids plus the lab-frame lattice shift of that neighbor's
     periodic image, for one (3,) offset applied to cell coords ``cx/cy/cz``.
@@ -419,13 +457,7 @@ def _within_ghost(
     hit_blocks = jax.lax.fori_loop(
         0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
     )
-    hit_sorted = hit_blocks.reshape(-1)[s_slot]
-    mask = (
-        jnp.zeros(n_src, dtype=bool)
-        .at[s_order]
-        .set(hit_sorted, unique_indices=True)
-    )
-    return mask, s_ofl | t_ofl
+    return _unsort_mask(hit_blocks, s_slot, s_order, n_src), s_ofl | t_ofl
 
 
 def within_mask(
@@ -548,13 +580,10 @@ def within_mask(
             hit_blocks = jax.lax.fori_loop(
                 0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
             )
-            hit_sorted = hit_blocks.reshape(-1)[s_slot]
-            mask = (
-                jnp.zeros(src.shape[0], dtype=bool)
-                .at[s_order]
-                .set(hit_sorted, unique_indices=True)
+            return (
+                _unsort_mask(hit_blocks, s_slot, s_order, src.shape[0]),
+                s_ofl | t_ofl | occ_ofl,
             )
-            return mask, s_ofl | t_ofl | occ_ofl
 
         ids = jnp.arange(n_cells, dtype=sflat.dtype)
         gcx = ids // (dims[1] * dims[2])
@@ -577,13 +606,10 @@ def within_mask(
         hit_blocks = jax.lax.fori_loop(
             0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
         )
-        hit_sorted = hit_blocks.reshape(-1)[s_slot]
-        mask = (
-            jnp.zeros(src.shape[0], dtype=bool)
-            .at[s_order]
-            .set(hit_sorted, unique_indices=True)
+        return (
+            _unsort_mask(hit_blocks, s_slot, s_order, src.shape[0]),
+            s_ofl | t_ofl,
         )
-        return mask, s_ofl | t_ofl
 
     # Triclinic (min-image + corrections) path.
     # Pad slots carry an explicit validity plane — a coordinate sentinel
@@ -651,9 +677,10 @@ def within_mask(
             0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
         )
         hit_blocks = hit_blocks & svalid
-        hit_sorted = hit_blocks.reshape(-1)[s_slot]
-        mask = jnp.zeros(src.shape[0], dtype=bool).at[s_order].set(hit_sorted)
-        return mask, s_ofl | t_ofl | occ_ofl
+        return (
+            _unsort_mask(hit_blocks, s_slot, s_order, src.shape[0]),
+            s_ofl | t_ofl | occ_ofl,
+        )
 
     def body(o, hit_blocks):
         cells = jax.lax.dynamic_index_in_dim(nb_ids, o, axis=1, keepdims=False)
@@ -674,10 +701,10 @@ def within_mask(
         0, 27, body, jnp.zeros((n_cells, cap), dtype=bool)
     )
     hit_blocks = hit_blocks & svalid
-    # Back to per-atom order: gather each sorted atom's slot, then undo sort.
-    hit_sorted = hit_blocks.reshape(-1)[s_slot]
-    mask = jnp.zeros(src.shape[0], dtype=bool).at[s_order].set(hit_sorted)
-    return mask, s_ofl | t_ofl
+    return (
+        _unsort_mask(hit_blocks, s_slot, s_order, src.shape[0]),
+        s_ofl | t_ofl,
+    )
 
 
 def contact_pairs(

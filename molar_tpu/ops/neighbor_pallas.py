@@ -187,9 +187,9 @@ def within_mask_pallas(
         interpret=interpret,
     )(lengths, sxb, syb, szb, svalid, *tgt_inputs)
 
-    hit_sorted = out.reshape(-1)[s_slot]
-    mask = jnp.zeros(n, dtype=bool).at[s_order].set(hit_sorted)
-    return mask, s_ofl | t_ofl
+    from .neighbor import _unsort_mask
+
+    return _unsort_mask(out, s_slot, s_order, n), s_ofl | t_ofl
 
 
 # ---------------------------------------------------------------------------
@@ -368,10 +368,6 @@ def within_ghost_pallas(
     )(qmask, jnp.asarray([ny], jnp.int32), gx, gy, gz,
       col(sxb), col(syb), col(szb))
 
-    hit_sorted = out[:, :, :nz].reshape(-1)[s_slot]
-    mask = (
-        jnp.zeros(n, dtype=bool)
-        .at[s_order]
-        .set(hit_sorted, unique_indices=True)
-    )
-    return mask, s_ofl | t_ofl
+    from .neighbor import _unsort_mask
+
+    return _unsort_mask(out[:, :, :nz], s_slot, s_order, n), s_ofl | t_ofl

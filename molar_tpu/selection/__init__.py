@@ -103,6 +103,14 @@ class FrameSelection:
                 )
             except CompileUnsupported:
                 self.compiled = None  # host fallback per frame
+        if self.compiled is not None:
+            # Jit once: re-tracing vmap per window (or dispatching the mask
+            # graph op-by-op per frame) costs one tunnel round-trip per
+            # primitive on remote backends.
+            import jax
+
+            self._jit_frame = jax.jit(self.compiled)
+            self._jit_window = jax.jit(jax.vmap(self.compiled))
 
     @property
     def tier(self) -> str:
@@ -124,7 +132,7 @@ class FrameSelection:
             i = jnp.asarray(box.inv, FLOAT) if box is not None else None
             # Cast to the build float so device membership matches the host
             # evaluator's precision (XTC windows are f32 even in f64 builds).
-            mask = self.compiled(jnp.asarray(state.coords, FLOAT), b, i)
+            mask = self._jit_frame(jnp.asarray(state.coords, FLOAT), b, i)
             return np.nonzero(np.asarray(mask))[0]
         return self.expr.apply(self.topology, state)
 
@@ -148,7 +156,7 @@ class FrameSelection:
 
             from ..config import FLOAT
 
-            masks = jax.vmap(self.compiled)(
+            masks = self._jit_window(
                 jnp.asarray(coords, FLOAT),
                 jnp.asarray(boxes, FLOAT),
                 jnp.asarray(invs, FLOAT),
