@@ -71,7 +71,7 @@ def _estimate_caps(xtc_path, box, tgt_idx, dims):
     h = XtcHandler(xtc_path, "r")
     c0 = h.read_frame(0).coords
     h.close()
-    return estimate_caps(c0, box.inv, dims, tgt_idx, margin=1.0)
+    return estimate_caps(c0, box.inv, dims, tgt_idx, margin=1.0, round_to=1)
 
 
 def _native_baseline_fps(xtc_path, n_sel, cutoff, max_frames=None):

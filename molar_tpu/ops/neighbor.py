@@ -308,14 +308,17 @@ def _unsort_mask(hit_blocks, s_slot, s_order, n):
     )
 
 
-def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2):
+def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2,
+                  round_to: int = 8):
     """Host-side frame-occupancy capacity estimate for the fixed-capacity
     cell tables (NOT a trajectory pre-pass — drift beyond the margin is
     absorbed by the overflow-retry contract).
 
-    Returns (cap, tgt_cap, occupied_tgt_cells) rounded to multiples of 8
-    (stable static shapes => stable XLA cache keys). ``tgt_idx`` None makes
-    the last two 0.
+    Returns (cap, tgt_cap, occupied_tgt_cells), each max occupancy scaled by
+    ``margin`` and rounded up to a multiple of ``round_to`` (stable static
+    shapes => stable XLA cache keys). ``margin=1.0, round_to=1`` gives the
+    raw counts for callers with their own tiering policy. ``tgt_idx`` None
+    makes the last two 0.
     """
     nx, ny, nz = dims
     frac = (np.asarray(coords, np.float64) @ np.asarray(inv, np.float64).T) % 1.0
@@ -325,14 +328,17 @@ def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2):
     cell = (cx * ny + cy) * nz + cz
     n_cells = nx * ny * nz
 
-    def round8(v):
-        return (int(v * margin) + 2 + 7) // 8 * 8
+    def size(v):
+        v = int(v * margin)
+        if round_to > 1:
+            v = (v + 2 + round_to - 1) // round_to * round_to
+        return v
 
-    cap = round8(np.bincount(cell, minlength=n_cells).max())
+    cap = size(np.bincount(cell, minlength=n_cells).max())
     if tgt_idx is None:
         return cap, 0, 0
     tc = np.bincount(cell[np.asarray(tgt_idx)], minlength=n_cells)
-    return cap, round8(tc.max()), int((tc > 0).sum())
+    return cap, size(tc.max()), int((tc > 0).sum())
 
 
 def _cells_shift(cx, cy, cz, off, dims, pbc, box, dtype):
