@@ -34,9 +34,15 @@ def main() -> int:
     ap.add_argument("--workload", default="all",
                     choices=["align", "within", "trjconv", "all"])
     ap.add_argument("--window", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU jax backend (the axon TPU plugin "
+                    "ignores JAX_PLATFORMS)")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
