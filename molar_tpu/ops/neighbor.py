@@ -37,7 +37,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["grid_dims", "cell_table", "within_mask", "contact_pairs"]
+__all__ = [
+    "grid_dims",
+    "estimate_caps",
+    "cell_table",
+    "within_mask",
+    "contact_pairs",
+]
 
 _HI = jax.lax.Precision.HIGHEST
 

@@ -197,3 +197,38 @@ def test_ghost_xla_path_matches_host(side, cutoff):
     got = _device_within(coords, src, tgt, cutoff, box, cap=n, ghost=True)
     want = neighbor_host.search_within(cutoff, coords, src, tgt, box, PBC_FULL)
     assert np.array_equal(got, want)
+
+
+def test_estimate_caps_bounds_real_occupancy():
+    # The estimator's caps must actually hold the frame it measured (no
+    # overflow when used as-is), and raw mode must return exact max counts.
+    rng = np.random.default_rng(3)
+    box = PeriodicBox(np.diag([5.0, 5.0, 5.0]).astype(np.float32))
+    coords = rng.uniform(0, 5, (2000, 3)).astype(np.float32)
+    tgt = np.arange(0, 2000, 7)
+    dims = neighbor.grid_dims(box.box_extents(), 0.5)
+    cap_raw, tcap_raw, ncells = neighbor.estimate_caps(
+        coords, box.inv, dims, tgt, margin=1.0, round_to=1
+    )
+    # exact counts: reproduce with a direct bincount
+    frac = (coords.astype(np.float64) @ box.inv.T.astype(np.float64)) % 1.0
+    cell = tuple(
+        np.minimum((frac[:, d] * dims[d]).astype(np.int64), dims[d] - 1)
+        for d in range(3)
+    )
+    flat = (cell[0] * dims[1] + cell[1]) * dims[2] + cell[2]
+    n_cells = dims[0] * dims[1] * dims[2]
+    assert cap_raw == np.bincount(flat, minlength=n_cells).max()
+    tc = np.bincount(flat[tgt], minlength=n_cells)
+    assert tcap_raw == tc.max() and ncells == (tc > 0).sum()
+    # rounded mode: multiple of 8 and >= raw
+    cap8, tcap8, _ = neighbor.estimate_caps(coords, box.inv, dims, tgt)
+    assert cap8 % 8 == 0 and cap8 >= cap_raw
+    assert tcap8 % 8 == 0 and tcap8 >= tcap_raw
+    # the caps hold: no overflow on the measured frame
+    mask, ofl = neighbor.within_mask(
+        jnp.asarray(coords), jnp.asarray(np.arange(2000)), jnp.asarray(tgt),
+        cutoff=0.5, box=jnp.asarray(box.matrix), inv=jnp.asarray(box.inv),
+        dims=dims, cap=cap8, tgt_cap=tcap8,
+    )
+    assert not bool(ofl)
