@@ -258,8 +258,12 @@ def main() -> int:
 
     # Warmup: compile tier 0 on the first window shape.
     window_fn0 = build_fn(0)
-    first = next(iter(reader.iter_windows(args.window)))
-    _ = jax.block_until_ready(window_fn0(*(jnp.asarray(x) for x in first[:4])))
+    # Warm up with the SAME transport form the timed passes stream: the
+    # quantized/delta tuples are a different pytree than plain f32 windows,
+    # so warming f32 would leave the real program's multi-minute compile
+    # inside timed rep 0 on a cold cache.
+    first = next(iter(reader.iter_windows(args.window, quantized=quant_mode)))
+    _ = jax.block_until_ready(window_fn0(*jax.device_put(first[:4])))
     print("# compiled", file=sys.stderr)
 
     # Best-of-N timed passes: the tunnel's transfer bandwidth is shared and
@@ -297,11 +301,10 @@ def main() -> int:
         fps = max(fps, n_done / elapsed)
         print(f"# device loop {rep}: {n_done} frames in {elapsed:.2f}s "
               f"({retried} windows retried)", file=sys.stderr)
-    overflowed = False
 
     # Device-compute-only rate: the same window program on resident data
     # (no decode, no H2D) — separates chip capability from tunnel weather.
-    res_args = tuple(jax.device_put(jnp.asarray(x)) for x in first[:4])
+    res_args = jax.device_put(first[:4])
     _ = jax.block_until_ready(window_fn0(*res_args))
     t0 = time.perf_counter()
     reps_c = 3
@@ -390,7 +393,7 @@ def main() -> int:
             }
         )
     )
-    ok = parity == 0 and not overflowed and (native_parity in (0, None))
+    ok = parity == 0 and (native_parity in (0, None))
     return 0 if ok else 1
 
 

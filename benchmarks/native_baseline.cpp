@@ -375,7 +375,11 @@ int main(int argc, char** argv) {
     float c2 = cutoff * cutoff;
     for (const auto& p : plan) {
       search_pair(c2, g1, g2, p.c1, p.c2, p.wrapped, L, found);
-      search_pair(c2, g1, g2, p.c2, p.c1, p.wrapped, L, found);
+      // Self-pairs (the zero-offset mask entry) must be searched once:
+      // scanning both orientations of c1==c2 doubles the densest block and
+      // understates the baseline's fps.
+      if (p.c1 != p.c2)
+        search_pair(c2, g1, g2, p.c2, p.c1, p.wrapped, L, found);
     }
     // SVec::from_unsorted dedup analog.
     long uniq = 0;

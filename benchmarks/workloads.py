@@ -6,8 +6,9 @@
 1. ca_rmsd    — CA-RMSD Kabsch fit over a GRO+XTC stream (device window scan)
 2. com_splits — per-residue COM + gyration with PBC via segment reductions
 3. contacts   — protein-ligand contact lists per frame (fixed-capacity)
-4. sasa       — per-residue Shrake-Rupley SASA time series
-5. membrane   — leaflet split + order parameters (host pipeline per frame)
+4. sasa       — per-residue EXACT Lee-Richards SASA time series (sasa_lr)
+5. membrane   — leaflet split + order parameters (batched per frame)
+6. trjconv    — XTC stream -> selection -> DCD write (reference workload #3)
 
 Each prints a JSON line with frames/sec. Synthetic inputs by default so it
 runs anywhere; real systems via -f STRUCTURE XTC.
@@ -233,6 +234,34 @@ def wl_sasa(system, xtc, window):
     nbj = jnp.asarray(nb)
     build_j = jnp.asarray(build_c, jnp.float32)
 
+    @jax.jit
+    def fn1(c, nbj_, build_coords):
+        x = jnp.stack(
+            [c[:, 0][jnp.asarray(idx)], c[:, 1][jnp.asarray(idx)],
+             c[:, 2][jnp.asarray(idx)]], -1)
+        areas = sasa_lr.sasa(x, radii, nbj_, n_slices=32, block=1024)
+        return (
+            jax.ops.segment_sum(areas, seg, num_segments=nseg),
+            sasa_lr.max_displacement(x, build_coords),
+        )
+
+    def per_frame_window(coords):
+        """Fallback for windows whose own internal drift exceeds skin/2
+        (fast trajectories): rebuild and evaluate frame by frame — drift
+        from a frame's own build position is zero, so this always holds."""
+        nonlocal nbj, build_j, cap0
+        rows = []
+        for k in range(len(coords)):
+            bc = coords[k][idx].astype(np.float64)
+            nb_k, ofl = sasa_lr.neighbor_lists(bc, radii_np, cap=cap0, skin=skin)
+            if ofl:
+                nb_k, cap0 = build_lists(bc)
+            nbj = jnp.asarray(nb_k)
+            build_j = jnp.asarray(bc, jnp.float32)
+            row, _ = fn1(jnp.asarray(coords[k]), nbj, build_j)
+            rows.append(np.asarray(row))
+        return np.stack(rows)
+
     # Rebuilds happen at window granularity, so the window bounds the drift
     # the skin must absorb; cap it at 8 frames for this workload.
     window = min(window, 8)
@@ -261,9 +290,11 @@ def wl_sasa(system, xtc, window):
             nbj = jnp.asarray(nb)
             build_j = jnp.asarray(build_c, jnp.float32)
             out, drift = fn(jax.device_put(coords), nbj, build_j)
-            assert float(np.max(np.asarray(drift))) < skin / 2, (
-                "window drifts beyond skin/2 within itself; shrink the window"
-            )
+            if float(np.max(np.asarray(drift))) >= skin / 2:
+                # Still drifting after a window-start rebuild: this window
+                # itself moves faster than the skin absorbs — degrade to
+                # per-frame rebuilds instead of aborting the run.
+                out = per_frame_window(coords)
         outs.append(out)
         n += len(ids)
     jax.block_until_ready(outs)

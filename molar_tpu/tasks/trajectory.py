@@ -568,21 +568,29 @@ class AnalysisTask:
         Reference pymolar tasks define ``def pre_process(self):`` etc.
         (molar_python/python/pymolar/__init__.py:133-146); the native harness
         passes an AnalysisContext. Both spellings are accepted by inspecting
-        the bound hook's positional arity.
+        the bound hook's positional arity — ONCE per hook name, not per frame
+        (``process_frame`` runs in the per-frame hot loop).
         """
-        import inspect
-
+        cache = self.__dict__.setdefault("_hook_arity", {})
         fn = getattr(self, name)
-        try:
-            params = [
-                p
-                for p in inspect.signature(fn).parameters.values()
-                if p.kind
-                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
-            ]
-        except (TypeError, ValueError):
-            params = [None]
-        if params:
+        takes_ctx = cache.get(name)
+        if takes_ctx is None:
+            import inspect
+
+            try:
+                takes_ctx = bool(
+                    [
+                        p
+                        for p in inspect.signature(fn).parameters.values()
+                        if p.kind
+                        in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD,
+                            p.VAR_POSITIONAL)
+                    ]
+                )
+            except (TypeError, ValueError):
+                takes_ctx = True
+            cache[name] = takes_ctx
+        if takes_ctx:
             fn(ctx)
         else:
             fn()
