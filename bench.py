@@ -310,7 +310,9 @@ def main() -> int:
     reps_c = 3
     for _ in range(reps_c):
         out = jax.block_until_ready(window_fn0(*res_args))
-    compute_fps = reps_c * len(first[0]) / (time.perf_counter() - t0)
+    # Frame count from the times array — first[0] is a transport pytree
+    # (a tuple for i16/delta), not necessarily a (B, N, 3) array.
+    compute_fps = reps_c * len(first[3]) / (time.perf_counter() - t0)
     print(f"# device compute-only fps={compute_fps:.2f}", file=sys.stderr)
 
     # Single-core native baseline: C++ reimplementation of the reference's
