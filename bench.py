@@ -132,6 +132,10 @@ def main() -> int:
                     "bit-exact; falls back to i16 when deltas exceed int8)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed passes over the trajectory; best fps reported")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard each window's frame axis over N devices "
+                    "(production multi-chip path: shard_map window programs "
+                    "over a 1-D frame mesh; 0 = single-device)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the first timed "
                     "pass into DIR (inspect with tensorboard or perfetto)")
@@ -256,6 +260,16 @@ def main() -> int:
 
     reader = TrajectoryReader([xtc_path])
 
+    mesh = None
+    runner = None
+    if args.mesh:
+        from molar_tpu.parallel.mesh import MeshWindowRunner, frame_mesh
+
+        mesh = frame_mesh(min(args.mesh, len(jax.devices())))
+        runner = MeshWindowRunner(mesh)
+        print(f"# mesh: {mesh.devices.size} device(s), frame-sharded windows",
+              file=sys.stderr)
+
     # Warmup: compile tier 0 on the first window shape.
     window_fn0 = build_fn(0)
     # Warm up with the SAME transport form the timed passes stream: the
@@ -263,7 +277,10 @@ def main() -> int:
     # so warming f32 would leave the real program's multi-minute compile
     # inside timed rep 0 on a cold cache.
     first = next(iter(reader.iter_windows(args.window, quantized=quant_mode)))
-    _ = jax.block_until_ready(window_fn0(*jax.device_put(first[:4])))
+    if runner is not None:
+        _ = jax.block_until_ready(runner.call(window_fn0, *first[:4]))
+    else:
+        _ = jax.block_until_ready(window_fn0(*jax.device_put(first[:4])))
     print("# compiled", file=sys.stderr)
 
     # Best-of-N timed passes: the tunnel's transfer bandwidth is shared and
@@ -292,6 +309,7 @@ def main() -> int:
             results, retried = run_with_overflow_retry(
                 reader, args.window, cached_build, n_tiers=4,
                 overflow_of=lambda r: r[3], quantized=quant_mode,
+                mesh=mesh,
             )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
 
@@ -80,35 +81,42 @@ def _windows(xtc, window):
     return TrajectoryReader([xtc]).iter_windows(window)
 
 
-def _timed_stream(fn, xtc, window):
+def _timed_stream(fn, xtc, window, runner=None):
     """Warm up (compile) every distinct window shape, then time a full pass.
 
     The axon compile service takes 3-15 min per new HLO and its persistent
     cache misses unreliably; folding that into the fps makes the table read
     compile time, not throughput. A trajectory whose frame count is not a
     multiple of ``window`` has a shorter trailing window — a second shape
-    that must be warmed too, or its compile lands inside the clock."""
+    that must be warmed too, or its compile lands inside the clock.
+
+    ``runner``: a parallel.mesh.MeshWindowRunner shards each window's frame
+    axis over the mesh (the --mesh flag; the workload fns' outputs are all
+    per-frame, as mesh mode requires)."""
     import jax
+
+    def call(coords, boxes, invs, times):
+        if runner is not None:
+            return runner.call(fn, coords, boxes, invs, times)
+        return fn(jax.device_put(coords), boxes, invs, times)
 
     warmed = set()
     for coords, boxes, invs, times, ids in _windows(xtc, window):
         b = len(ids)
         if b not in warmed:
             warmed.add(b)
-            jax.block_until_ready(
-                fn(jax.device_put(coords), boxes, invs, times)
-            )
+            jax.block_until_ready(call(coords, boxes, invs, times))
     n = 0
     outs = []
     t0 = time.perf_counter()
     for coords, boxes, invs, times, ids in _windows(xtc, window):
-        outs.append(fn(jax.device_put(coords), boxes, invs, times))
+        outs.append(call(coords, boxes, invs, times))
         n += len(ids)
     jax.block_until_ready(outs)
     return n, time.perf_counter() - t0
 
 
-def wl_ca_rmsd(system, xtc, window):
+def wl_ca_rmsd(system, xtc, window, runner=None):
     import jax
     import jax.numpy as jnp
 
@@ -127,10 +135,10 @@ def wl_ca_rmsd(system, xtc, window):
             return carry, rmsd
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window)
+    return _timed_stream(fn, xtc, window, runner)
 
 
-def wl_com_splits(system, xtc, window):
+def wl_com_splits(system, xtc, window, runner=None):
     import jax
     import jax.numpy as jnp
 
@@ -157,10 +165,10 @@ def wl_com_splits(system, xtc, window):
             return carry, (com, jnp.sqrt(g2))
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window)
+    return _timed_stream(fn, xtc, window, runner)
 
 
-def wl_contacts(system, xtc, window, cutoff=0.4):
+def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
     import jax
     import jax.numpy as jnp
 
@@ -183,7 +191,7 @@ def wl_contacts(system, xtc, window, cutoff=0.4):
             return carry, (cnt, ofl)
         return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
-    return _timed_stream(fn, xtc, window)
+    return _timed_stream(fn, xtc, window, runner)
 
 
 def wl_sasa(system, xtc, window):
@@ -272,9 +280,15 @@ def wl_sasa(system, xtc, window):
         if len(coords) not in warmed:
             warmed.add(len(coords))
             jax.block_until_ready(fn(jax.device_put(coords), nbj, build_j))
+            if not warmed - {len(coords)}:
+                # Warm the per-frame fallback program too: a fast-drifting
+                # window would otherwise pay fn1's multi-minute axon compile
+                # inside the timed pass.
+                jax.block_until_ready(fn1(jax.device_put(coords[0]), nbj, build_j))
     n = 0
     outs = []
     rebuilds = 0
+    fallbacks = 0
     t0 = time.perf_counter()
     for coords, boxes, invs, times, ids in _windows(xtc, window):
         out, drift = fn(jax.device_put(coords), nbj, build_j)
@@ -294,10 +308,16 @@ def wl_sasa(system, xtc, window):
                 # Still drifting after a window-start rebuild: this window
                 # itself moves faster than the skin absorbs — degrade to
                 # per-frame rebuilds instead of aborting the run.
+                fallbacks += 1
                 out = per_frame_window(coords)
         outs.append(out)
         n += len(ids)
     jax.block_until_ready(outs)
+    if rebuilds or fallbacks:
+        # Visible marker that the timed pass did extra (possibly
+        # compile-contaminated) work — read the fps with that in mind.
+        print(f"#   sasa: {rebuilds} window rebuilds, {fallbacks} per-frame "
+              "fallbacks", file=sys.stderr)
     return n, time.perf_counter() - t0
 
 
@@ -325,9 +345,15 @@ def wl_trjconv(system, xtc):
     return n, time.perf_counter() - t0
 
 
-def wl_membrane(n_frames=8):
+def wl_membrane(n_frames=8, shards=0):
     # tiny flat bilayer, host pipeline (frames shard across chips via the
-    # frame mesh in multi-chip deployments; single-process here)
+    # frame mesh in multi-chip deployments; single-process here).
+    # ``shards > 1`` runs the multi-chip execution shape in-process: the
+    # frame stream splits into contiguous slices, one Membrane replica per
+    # shard consumes its slice, and the per-group Welford statistics fold
+    # together exactly via Membrane.merge_stats_from (SURVEY §2.7 row
+    # "multi-chip"; the wall-clock here is serial — one host — but the
+    # numbers prove the sharded execution path end-to-end).
     from molar_tpu import PeriodicBox, System
     from molar_tpu.core.atom import Atom
     from molar_tpu.core.state import State
@@ -366,13 +392,34 @@ head = "name P"
 mid = "name G"
 tails = ["C1-C2-C3-C4"]
 """
-    memb = Membrane(system, toml)
-    memb.add_ids_to_group("all", range(len(memb.lipids)))
     rng = np.random.default_rng(0)
     base = system.state.coords.copy()
+    frames = [
+        base + rng.normal(0, 0.01, base.shape).astype(np.float32)
+        for _ in range(n_frames)
+    ]
+    if shards > 1:
+        membs = []
+        for s in range(shards):
+            m = Membrane(system, toml)
+            m.add_ids_to_group("all", range(len(m.lipids)))
+            membs.append(m)
+        t0 = time.perf_counter()
+        per = (n_frames + shards - 1) // shards
+        for s, m in enumerate(membs):
+            for c in frames[s * per : (s + 1) * per]:
+                system.state.coords = c
+                m.compute()
+        root = membs[0]
+        for m in membs[1:]:
+            root.merge_stats_from(m)
+        root.finalize()
+        return n_frames, time.perf_counter() - t0
+    memb = Membrane(system, toml)
+    memb.add_ids_to_group("all", range(len(memb.lipids)))
     t0 = time.perf_counter()
-    for k in range(n_frames):
-        system.state.coords = base + rng.normal(0, 0.01, base.shape).astype(np.float32)
+    for c in frames:
+        system.state.coords = c
         memb.compute()
     memb.finalize()
     return n_frames, time.perf_counter() - t0
@@ -391,12 +438,25 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (the axon TPU plugin "
                     "ignores JAX_PLATFORMS)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard each window's frame axis over N devices "
+                    "(ca_rmsd/com_splits/contacts stream sharded; membrane "
+                    "runs N replicas merged via merge_stats_from)")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    runner = None
+    if args.mesh:
+        import jax
+
+        from molar_tpu.parallel.mesh import MeshWindowRunner, frame_mesh
+
+        runner = MeshWindowRunner(frame_mesh(min(args.mesh, len(jax.devices()))))
+        print(f"# mesh: {runner.n} device(s)", file=sys.stderr)
 
     from molar_tpu import System
 
@@ -409,11 +469,11 @@ def main() -> int:
         _write_xtc(system, xtc, args.frames)
 
     jobs = {
-        "ca_rmsd": lambda: wl_ca_rmsd(system, xtc, args.window),
-        "com_splits": lambda: wl_com_splits(system, xtc, args.window),
-        "contacts": lambda: wl_contacts(system, xtc, args.window),
+        "ca_rmsd": lambda: wl_ca_rmsd(system, xtc, args.window, runner),
+        "com_splits": lambda: wl_com_splits(system, xtc, args.window, runner),
+        "contacts": lambda: wl_contacts(system, xtc, args.window, runner),
         "sasa": lambda: wl_sasa(system, xtc, args.window),
-        "membrane": lambda: wl_membrane(),
+        "membrane": lambda: wl_membrane(shards=args.mesh),
         "trjconv": lambda: wl_trjconv(system, xtc),
     }
     out = {}

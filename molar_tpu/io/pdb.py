@@ -86,7 +86,10 @@ class PdbHandler(FormatHandler):
     def _read_model(self) -> Optional[tuple[Topology, State]]:
         atoms: list[Atom] = []
         coords: list[tuple[float, float, float]] = []
-        box: Optional[PeriodicBox] = None
+        # CRYST1 is a file-level header that applies to EVERY model (it is
+        # written once, before MODEL 1); carry the last seen box into
+        # subsequent models instead of resetting to None per model.
+        box: Optional[PeriodicBox] = getattr(self, "_last_box", None)
         serial_to_index: dict[int, int] = {}
         conect: list[tuple[int, int]] = []
         has_atoms = False
@@ -140,6 +143,7 @@ class PdbHandler(FormatHandler):
                     )
                 except PeriodicBoxError:
                     box = None
+                self._last_box = box
             elif line.startswith("MODEL"):
                 if has_atoms:
                     # New MODEL starts; previous model had no ENDMDL. Rewind so

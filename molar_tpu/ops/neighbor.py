@@ -320,12 +320,16 @@ def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2,
     cell tables (NOT a trajectory pre-pass — drift beyond the margin is
     absorbed by the overflow-retry contract).
 
-    Returns (cap, tgt_cap, occupied_tgt_cells), each max occupancy scaled by
-    ``margin`` and rounded up to a multiple of ``round_to`` (stable static
-    shapes => stable XLA cache keys). ``margin=1.0, round_to=1`` gives the
-    raw counts for callers with their own tiering policy. ``tgt_idx`` None
-    makes the last two 0.
+    Returns (cap, tgt_cap, occupied_tgt_cells): each max occupancy scaled by
+    ``margin`` (ceiling), then — in rounded mode only (``round_to > 1``) —
+    given +2 slots of jitter headroom and rounded up to a multiple of
+    ``round_to`` (stable static shapes => stable XLA cache keys).
+    ``margin=1.0, round_to=1`` gives the exact raw counts for callers with
+    their own tiering policy (no headroom is added in raw mode). ``tgt_idx``
+    None makes the last two 0.
     """
+    import math
+
     nx, ny, nz = dims
     frac = (np.asarray(coords, np.float64) @ np.asarray(inv, np.float64).T) % 1.0
     cx = np.minimum((frac[:, 0] * nx).astype(np.int64), nx - 1)
@@ -335,7 +339,7 @@ def estimate_caps(coords, inv, dims, tgt_idx=None, margin: float = 1.2,
     n_cells = nx * ny * nz
 
     def size(v):
-        v = int(v * margin)
+        v = math.ceil(v * margin)
         if round_to > 1:
             v = (v + 2 + round_to - 1) // round_to * round_to
         return v
@@ -512,6 +516,18 @@ def within_mask(
 
     Returns (mask (len(src_idx),), overflow bool). ``dims``/``cap``/``pbc``
     static; ``cap`` bounds src cells, ``tgt_cap`` (default cap) target cells.
+
+    Contract notes:
+
+    * When ``overflow`` is True the mask is UNDEFINED (clipped ranks make
+      duplicate scatter slots, which XLA leaves unspecified) — callers must
+      check the flag and retry at higher capacity (see
+      tasks.trajectory.run_with_overflow_retry), never consume the mask.
+    * ``corrections is None`` is a caller assertion that the box is
+      orthorhombic (or that ±1-cell lattice images provably suffice). For a
+      skewed box pass ``box.padded_corrections()`` — passing None silently
+      selects the shift fast path, which can miss hits that need a
+      correction candidate (periodic_box.rs:286-318).
     """
     tgt_cap = tgt_cap or cap
     n_cells = dims[0] * dims[1] * dims[2]

@@ -7,15 +7,25 @@ index arrays replicate, and the only cross-chip communication is the
 reduction of time-averaged observables (mean RMSD, histograms, order
 parameters), which XLA lowers to `psum` over ICI.
 
-Usage:
+Two wrappers, two body styles:
+
+* :func:`sharded_window_fn` — ``jit`` with in/out shardings. The body sees
+  the FULL window; XLA's SPMD partitioner splits vmapped per-frame work and
+  inserts collectives for cross-frame reductions (a ``jnp.mean`` over the
+  sharded axis is a real global mean). Right for vmap-style bodies.
+* :class:`MeshWindowRunner` — ``jax.shard_map``: the body runs once per
+  device on its LOCAL frame shard, so ``lax.scan``-over-frames bodies (the
+  production window programs, whose scan would otherwise serialize or
+  gather under SPMD) parallelize cleanly. Outputs must be per-frame; the
+  runner pads ragged windows, shards the transport pytree, and trims the
+  outputs back. This is the production path used by
+  ``tasks.trajectory.WindowPipeline(mesh=...)``.
+
+Usage (ad-hoc):
 
     mesh = frame_mesh()                        # all local devices
     fn = sharded_window_fn(window_fn, mesh)    # jit with frame shardings
     out = fn(*shard_window(mesh, coords, boxes, invs, times))
-
-``window_fn`` stays an ordinary per-window function (scan/vmap over its
-leading frame axis); per-frame outputs come back frame-sharded, window-level
-scalars (means) replicated.
 """
 
 from __future__ import annotations
@@ -48,7 +58,7 @@ def shard_window(mesh: Mesh, *arrays):
     """device_put window arrays with the leading (frame) axis sharded.
 
     The frame count must divide the mesh size; the trajectory pipeline pads
-    ragged tails (FrameBatch.valid) before sharding.
+    ragged tails (:func:`pad_to_multiple`) before sharding.
     """
     fs = frame_sharding(mesh)
     return tuple(jax.device_put(a, fs) for a in arrays)
@@ -59,12 +69,24 @@ def sharded_window_fn(
     mesh: Mesh,
     n_frame_args: int = 4,
     replicated_outs: tuple = (),
+    n_outs: Optional[int] = None,
 ) -> Callable:
     """jit ``window_fn`` with its first ``n_frame_args`` args sharded over the
     frame axis. Outputs stay frame-sharded unless listed (by index) in
-    ``replicated_outs`` (e.g. window-level scalar reductions)."""
+    ``replicated_outs`` (window-level scalar reductions — a global mean over
+    the sharded axis is still a true mean here; XLA inserts the psum).
+    ``replicated_outs`` requires ``n_outs`` (the length of the output tuple)
+    so the out-sharding pytree can be built without tracing."""
     fs = frame_sharding(mesh)
-    return jax.jit(window_fn, in_shardings=(fs,) * n_frame_args)
+    if not replicated_outs:
+        return jax.jit(window_fn, in_shardings=(fs,) * n_frame_args)
+    if n_outs is None:
+        raise ValueError("replicated_outs requires n_outs (output tuple length)")
+    rep = replicated_sharding(mesh)
+    outs = tuple(rep if i in replicated_outs else fs for i in range(n_outs))
+    return jax.jit(
+        window_fn, in_shardings=(fs,) * n_frame_args, out_shardings=outs
+    )
 
 
 def pad_to_multiple(arrays, times, multiple: int):
@@ -82,6 +104,125 @@ def pad_to_multiple(arrays, times, multiple: int):
         pad = np.repeat(a[-1:], rem, axis=0)
         out.append(np.concatenate([a, pad], axis=0))
     return tuple(out), valid
+
+
+class MeshWindowRunner:
+    """Production frame-sharded execution of a per-window program.
+
+    Wraps a window function ``fn(coords, boxes, invs, times) -> pytree of
+    per-frame results`` (every output leaf must have the frame axis leading —
+    the ``lax.scan`` window programs all do) in ``jax.shard_map`` over a
+    1-D frame mesh, handling the parts shard_map cannot:
+
+    * **transport forms** — plain f32 windows shard directly; i16 quantized
+      pairs shard the ints and replicate the scale; i8-delta triples are
+      reconstructed to the i16 pair on the host first (the frame-axis prefix
+      sum cannot be split across devices without a cross-chip scan, and the
+      host cumsum of small ints is cheap);
+    * **ragged tails** — windows are padded to a device-count multiple by
+      repeating the last frame (identical results, so padded rows carry no
+      new overflow risk) and outputs are trimmed back;
+    * **per-form caching** — each transport pytree shape wraps + jits once.
+
+    ``window_fn`` may itself be jitted (nested jit inlines under shard_map).
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n = int(mesh.devices.size)
+        self._wrapped: dict = {}
+        self._fs = frame_sharding(mesh)
+        self._rep = replicated_sharding(mesh)
+
+    # -- host-side window preparation ------------------------------------
+
+    @staticmethod
+    def _delta_to_i16(coords):
+        """(frame0 i16, deltas i8, scale) -> (ints (B,N,3) i16, scale).
+        Exact: the deltas were built from the i16 ints, so every prefix sum
+        is again a representable i16 int."""
+        f0, d8, scale = coords
+        ints = np.concatenate(
+            [
+                f0[None].astype(np.int32),
+                f0[None].astype(np.int32)
+                + np.cumsum(d8.astype(np.int32), axis=0),
+            ],
+            axis=0,
+        )
+        return ints.astype(np.int16), scale
+
+    def prepare(self, coords, boxes, invs, times):
+        """Pad + device_put one window with frame shardings.
+
+        Returns (dev_args, n_valid_frames, form_key).
+        """
+        if isinstance(coords, tuple) and len(coords) == 3:
+            coords = self._delta_to_i16(coords)
+        if isinstance(coords, tuple):
+            lead, scale = coords
+            form = "i16"
+        else:
+            lead, scale = coords, None
+            form = "f32"
+        b = lead.shape[0]
+        arrs = [lead, boxes] + ([] if invs is None else [invs]) + [times]
+        padded, _ = pad_to_multiple(tuple(arrs), None, self.n)
+        lead_p, boxes_p, *rest = padded
+        invs_p = rest[0] if invs is not None else None
+        times_p = rest[-1]
+        if form == "i16":
+            dev_coords = (
+                jax.device_put(lead_p, self._fs),
+                jax.device_put(scale, self._rep),
+            )
+        else:
+            dev_coords = jax.device_put(lead_p, self._fs)
+        dev = (
+            dev_coords,
+            jax.device_put(boxes_p, self._fs),
+            None if invs_p is None else jax.device_put(invs_p, self._fs),
+            jax.device_put(times_p, self._fs),
+        )
+        return dev, b, form
+
+    # -- wrapped function cache ------------------------------------------
+
+    def wrap(self, window_fn: Callable, form: str) -> Callable:
+        key = (id(window_fn), form)
+        f = self._wrapped.get(key)
+        if f is None:
+            coords_spec = (P(FRAMES), P()) if form == "i16" else P(FRAMES)
+            in_specs = (coords_spec, P(FRAMES), P(FRAMES), P(FRAMES))
+            # check_vma=False: window programs are ordinary single-device
+            # code (constant scan carries, closed-over reference frames) that
+            # the varying-manual-axes type discipline would reject; with
+            # per-frame in/out specs and no collectives in the body, the
+            # replication analysis has nothing to protect here.
+            f = jax.jit(
+                jax.shard_map(
+                    window_fn,
+                    mesh=self.mesh,
+                    in_specs=in_specs,
+                    out_specs=P(FRAMES),
+                    check_vma=False,
+                )
+            )
+            self._wrapped[key] = f
+        return f
+
+    # -- one-shot convenience --------------------------------------------
+
+    def call(self, window_fn: Callable, coords, boxes, invs, times):
+        """Prepare + run + trim one window (host-array inputs)."""
+        dev, b, form = self.prepare(coords, boxes, invs, times)
+        out = self.wrap(window_fn, form)(*dev)
+        return self.trim(out, b)
+
+    @staticmethod
+    def trim(result, n_valid: int):
+        """Cut padded frames off every per-frame output leaf."""
+        return jax.tree.map(lambda a: a[:n_valid], result)
 
 
 # ---------------------------------------------------------------------------
@@ -115,10 +256,9 @@ def com_gyration_sharded(mesh: Mesh) -> Callable:
     from functools import partial
 
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
 
     @partial(
-        shard_map,
+        jax.shard_map,
         mesh=mesh,
         in_specs=(P(FRAMES, ATOMS, None), P(ATOMS)),
         out_specs=(P(FRAMES), P(FRAMES)),

@@ -196,6 +196,13 @@ def compile_selection(
             pbc = (False, False, False)
             uses_box[0] = True  # still needs box arrays for wrapping math
         aidx = jnp.arange(n)
+        # Skewed boxes need the correction-candidate min-image path; the
+        # shift fast path (corrections=None) assumes orthorhombic (see
+        # within_mask contract notes). Box kind is fixed at compile time:
+        # per-frame boxes may rescale (NPT) but not change skew class.
+        corr = None
+        if p.pbc.any and state.box is not None and state.box.corrections.shape[0]:
+            corr = jnp.asarray(state.box.padded_corrections())
         cap = params["cap"] or auto_cap(dims, np.arange(n))
         if not is_point:
             tcap = params["tgt_cap"] or auto_cap(dims, np.asarray(target))
@@ -210,8 +217,8 @@ def compile_selection(
                 allc = jnp.concatenate([c, tgt])
                 mask, _ = neighbor.within_mask(
                     allc, aidx, jnp.asarray([n]), cutoff=p.cutoff,
-                    box=b, inv=i, dims=dims, cap=cap, tgt_cap=8,
-                    pbc=pbc,
+                    box=b, inv=i, corrections=corr, dims=dims, cap=cap,
+                    tgt_cap=8, pbc=pbc,
                 )
                 return mask
             return f
@@ -220,8 +227,9 @@ def compile_selection(
 
         def f(c, b, i):
             mask, _ = neighbor.within_mask(
-                c, aidx, tidx, cutoff=p.cutoff, box=b, inv=i, dims=dims,
-                cap=cap, tgt_cap=tcap, max_tgt_cells=mtc, pbc=pbc,
+                c, aidx, tidx, cutoff=p.cutoff, box=b, inv=i,
+                corrections=corr, dims=dims, cap=cap, tgt_cap=tcap,
+                max_tgt_cells=mtc, pbc=pbc,
             )
             if include:
                 mask = mask | inner_mask

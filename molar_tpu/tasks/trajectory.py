@@ -83,6 +83,13 @@ def build_arg_parser(description: str = "trajectory analysis") -> argparse.Argum
     p.add_argument("--log", type=int, default=100, dest="log_every", help="progress period")
     p.add_argument("--window", type=int, default=64, help="frames per device window")
     p.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        help="shard each window's frame axis over this many devices "
+        "(0 = single-device; window tasks only)",
+    )
+    p.add_argument(
         "--add-time",
         action="store_true",
         dest="add_time",
@@ -174,6 +181,10 @@ class TrajectoryReader:
         from ..io.xtc import XtcHandler
 
         fr_base = 0
+        # The skip phase counts ELIGIBLE (begin/end-passing) frames globally
+        # across concatenated files (analysis_task.rs:205-234; iter_states
+        # semantics) — it must NOT restart at each file boundary.
+        n_eligible = 0
         for path in self.paths:
             fh = FileHandler(path)
             h = fh.handler
@@ -191,7 +202,9 @@ class TrajectoryReader:
                 if self.end.time is not None:
                     keep &= times <= self.end.time
                 kept = np.nonzero(keep)[0]
-                kept = kept[:: self.skip]
+                phase = (-n_eligible) % self.skip
+                n_eligible += len(kept)
+                kept = kept[phase :: self.skip]
                 if len(kept) == 0:
                     fr_base += n
                     fh.close()
@@ -240,17 +253,16 @@ class TrajectoryReader:
             else:
                 buf_c, buf_b, buf_t, buf_i = [], [], [], []
                 fr = fr_base - 1
-                consumed = 0
                 for st in fh.iter_states():
                     fr += 1
                     if self._past_end(fr, st.time):
                         break
                     if not self._want(fr, st.time):
                         continue
-                    if consumed % self.skip:
-                        consumed += 1
+                    if n_eligible % self.skip:
+                        n_eligible += 1
                         continue
-                    consumed += 1
+                    n_eligible += 1
                     buf_c.append(st.coords.astype(np.float32))
                     buf_b.append(
                         st.box.matrix if st.box is not None else np.eye(3, dtype=np.float32)
@@ -320,6 +332,15 @@ class WindowPipeline:
     is called once per window; decode of window k+1 overlaps compute of k
     (the TPU-era replacement of the reference's IoStateIterator reader thread
     + sync_channel(10), io.rs:198-271).
+
+    ``mesh``: a 1-D frame :class:`jax.sharding.Mesh` turns on multi-chip
+    execution — each window is padded to a device-count multiple, device_put
+    with the frame axis sharded, and ``window_fn`` runs under ``shard_map``
+    so its ``lax.scan`` covers only the local frame shard
+    (parallel.mesh.MeshWindowRunner). Requires every ``window_fn`` output
+    leaf to be per-frame (leading frame axis); outputs are trimmed back to
+    the real frame count. This is SURVEY §2.7's multi-chip row: the rayon
+    frame pool becomes frames-over-ICI.
     """
 
     def __init__(
@@ -332,6 +353,7 @@ class WindowPipeline:
         n_threads: Optional[int] = None,
         invert_boxes: bool = True,
         quantized: bool = False,
+        mesh=None,
     ):
         self.reader = reader
         self.window = window
@@ -341,6 +363,13 @@ class WindowPipeline:
         self.n_threads = n_threads
         self.invert_boxes = invert_boxes
         self.quantized = quantized
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import MeshWindowRunner
+
+            self._runner = MeshWindowRunner(mesh)
+        else:
+            self._runner = None
 
     def run(self):
         """Yield (frame_ids, result_pytree) per window."""
@@ -348,6 +377,7 @@ class WindowPipeline:
 
         q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
         stop = object()
+        runner = self._runner
 
         def feeder():
             try:
@@ -356,6 +386,12 @@ class WindowPipeline:
                     quantized=self.quantized,
                 ):
                     coords, boxes, invs, times, ids = item
+                    if runner is not None:
+                        # Mesh mode: pad + shard the window over the frame
+                        # axis (delta transport reconstructs to i16 first).
+                        dev, b, form = runner.prepare(coords, boxes, invs, times)
+                        q.put((dev, ids, (b, form)))
+                        continue
                     if self.device_put:
                         # One device_put for the whole window: each call can
                         # cost a dispatch round-trip (severe on remote-tunnel
@@ -363,7 +399,7 @@ class WindowPipeline:
                         dev = jax.device_put((coords, boxes, invs, times))
                     else:
                         dev = (coords, boxes, invs, times)
-                    q.put((dev, ids))
+                    q.put((dev, ids, None))
             except BaseException as e:  # surface decode errors to consumer
                 q.put(e)
                 return
@@ -377,9 +413,66 @@ class WindowPipeline:
                 break
             if isinstance(item, BaseException):
                 raise item
-            (coords, boxes, invs, times), ids = item
-            yield ids, self.window_fn(coords, boxes, invs, times)
+            (coords, boxes, invs, times), ids, meta = item
+            if runner is not None:
+                b, form = meta
+                out = runner.wrap(self.window_fn, form)(
+                    coords, boxes, invs, times
+                )
+                yield ids, runner.trim(out, b)
+            else:
+                yield ids, self.window_fn(coords, boxes, invs, times)
         t.join()
+
+
+def _read_frames_by_ids(paths: Sequence[str], ids):
+    """Random-access re-read of specific GLOBAL frame indices across files.
+
+    The overflow-retry fallback for flagged windows whose by-range window
+    re-read cannot reproduce the original frame set (skip phase crossing a
+    file boundary, windows spanning files). Uses XTC random access where
+    available, serial iteration otherwise. Returns (coords f32 (B, N, 3),
+    boxes, invs, times) in ``ids`` order.
+    """
+    from ..io.xtc import XtcHandler
+
+    want = {int(i) for i in ids}
+    found: dict = {}
+    fr_base = 0
+    for path in paths:
+        if len(found) == len(want):
+            break
+        fh = FileHandler(path)
+        h = fh.handler
+        if isinstance(h, XtcHandler):
+            n = h.n_frames
+            for fi in sorted(want - found.keys()):
+                if fr_base <= fi < fr_base + n:
+                    found[fi] = h.read_frame(fi - fr_base)
+            fr_base += n
+        else:
+            fr = fr_base - 1
+            for st in fh.iter_states():
+                fr += 1
+                if fr in want:
+                    found[fr] = st
+            fr_base = fr + 1
+        fh.close()
+    missing = want - found.keys()
+    if missing:
+        raise AnalysisError(
+            f"re-read could not locate frames {sorted(missing)}"
+        )
+    sts = [found[int(i)] for i in ids]
+    coords = np.stack([s.coords.astype(np.float32) for s in sts])
+    boxes = np.stack(
+        [
+            s.box.matrix if s.box is not None else np.eye(3, dtype=np.float32)
+            for s in sts
+        ]
+    )
+    times = np.asarray([s.time for s in sts], np.float32)
+    return coords, boxes, _invert_boxes(boxes), times
 
 
 def run_with_overflow_retry(
@@ -390,6 +483,7 @@ def run_with_overflow_retry(
     overflow_of: Callable = None,
     quantized: bool = False,
     n_threads: Optional[int] = None,
+    mesh=None,
 ):
     """Stream windows through tier-0's window_fn; re-run overflowed windows
     at higher capacity tiers (the fixed-capacity + retry contract,
@@ -416,15 +510,27 @@ def run_with_overflow_retry(
     if overflow_of is None:
         raise ValueError("overflow_of extractor is required")
 
+    runner = None
+    if mesh is not None:
+        from ..parallel.mesh import MeshWindowRunner
+
+        runner = MeshWindowRunner(mesh)
+
     fn0 = build_fn(0)
     results: list = []
     pipeline = WindowPipeline(
-        reader, window, fn0, quantized=quantized, n_threads=n_threads
+        reader, window, fn0, quantized=quantized, n_threads=n_threads,
+        mesh=mesh,
     )
     for ids, res in pipeline.run():
         results.append((ids, res))
     if results:
         jax.block_until_ready(results[-1][1])
+
+    def call(fn, coords, boxes, invs, times):
+        if runner is not None:
+            return runner.call(fn, coords, boxes, invs, times)
+        return fn(coords, boxes, invs, times)
 
     retried = 0
     fns = {0: fn0}
@@ -441,17 +547,22 @@ def run_with_overflow_retry(
                 end=FrameSpec(frame=int(ids[-1])),
                 skip=reader.skip,
             )
-            redo = [
-                (rids, fns[tier](coords, boxes, invs, times))
-                for coords, boxes, invs, times, rids in sub.iter_windows(
-                    window, n_threads, quantized=quantized
-                )
-            ]
-            assert len(redo) == 1 and np.array_equal(redo[0][0], ids), (
-                "window re-read did not reproduce the original frame set"
+            redo_in = list(
+                sub.iter_windows(window, n_threads, quantized=quantized)
             )
-            if not bool(np.any(np.asarray(overflow_of(redo[0][1])))):
-                results[w] = redo[0]
+            if len(redo_in) == 1 and np.array_equal(redo_in[0][4], ids):
+                coords, boxes, invs, times, rids = redo_in[0]
+            else:
+                # The by-range re-read did not reproduce the frame set (skip
+                # phase crossing a file boundary, window spanning files):
+                # fall back to per-frame random access on the exact ids.
+                coords, boxes, invs, times = _read_frames_by_ids(
+                    reader.paths, ids
+                )
+                rids = ids
+            redo = (rids, call(fns[tier], coords, boxes, invs, times))
+            if not bool(np.any(np.asarray(overflow_of(redo[1])))):
+                results[w] = redo
                 break
         else:
             raise AnalysisError(
@@ -484,6 +595,12 @@ class WindowAnalysisTask:
     ``run()`` parses the standard flags and drives the double-buffered
     window pipeline. This is the idiomatic form of the reference's
     AnalysisTask on TPU: one fused XLA program per frame window.
+
+    ``--mesh N`` (or ``mesh`` passed to ``run``) shards each window's frame
+    axis over N devices (frames-over-ICI, SURVEY §2.7): ``build``'s window
+    function then runs under shard_map on its local frame shard, so all its
+    outputs must be per-frame. ``accumulate`` sees full trimmed windows
+    either way.
     """
 
     task_name = "window analysis"
@@ -500,7 +617,7 @@ class WindowAnalysisTask:
     def post_process(self) -> None:
         pass
 
-    def run(self, argv: Optional[Sequence[str]] = None):
+    def run(self, argv: Optional[Sequence[str]] = None, mesh=None):
         parser = build_arg_parser(self.task_name)
         self.add_args(parser)
         args = parser.parse_args(argv)
@@ -515,7 +632,11 @@ class WindowAnalysisTask:
             end=FrameSpec.parse(args.end),
             skip=args.skip,
         )
-        pipeline = WindowPipeline(reader, args.window, window_fn)
+        if mesh is None and getattr(args, "mesh", 0):
+            from ..parallel.mesh import frame_mesh
+
+            mesh = frame_mesh(args.mesh)
+        pipeline = WindowPipeline(reader, args.window, window_fn, mesh=mesh)
         n = 0
         t0 = _time.perf_counter()
         for ids, results in pipeline.run():

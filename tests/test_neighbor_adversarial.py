@@ -86,6 +86,33 @@ def test_tiny_periodic_grids_match_host(side, n):
         assert np.array_equal(got, want), (side, cutoff)
 
 
+@pytest.mark.parametrize(
+    "sides,cutoff",
+    [
+        ((0.7, 0.7, 0.7), 0.4),   # dims = (1,1,1): every axis aliases
+        ((0.7, 2.0, 2.0), 0.4),   # dims = (1,5,5): one collapsed axis
+    ],
+)
+def test_dim1_periodic_grid_matches_host(sides, cutoff):
+    # side < 2*cutoff => grid_dims yields 1 on that axis: ALL 3 offsets per
+    # collapsed axis alias to the same (only) cell, and the shift path's
+    # no-dedupe claim (each offset is a distinct ±box image) carries the
+    # whole result. This is the extreme the tiny-grid test above never
+    # reaches (its dims floor at 2).
+    rng = np.random.default_rng(77)
+    box = PeriodicBox(np.diag(sides).astype(np.float32))
+    n = 60
+    coords = (rng.uniform(-1, 2, (n, 3)) * np.asarray(sides)).astype(np.float32)
+    src = np.arange(n)
+    tgt = rng.choice(n, 12, replace=False)
+    tgt.sort()
+    dims = neighbor.grid_dims(box.box_extents(), cutoff)
+    assert min(dims) == 1
+    got = _device_within(coords, src, tgt, cutoff, box, cap=n)
+    want = neighbor_host.search_within(cutoff, coords, src, tgt, box, PBC_FULL)
+    assert np.array_equal(got, want)
+
+
 def test_triclinic_pairs_sorted_identity():
     # Full sorted pair-list identity (not just counts) on a skewed box that
     # exercises the correction-candidate sweep.

@@ -36,3 +36,42 @@ def test_golden_selection(protein, sel):
         f"{sel!r}: {len(got)} atoms vs {len(want)} expected; "
         f"first diff at {next((i for i, (a, b) in enumerate(zip(got, want)) if a != b), min(len(got), len(want)))}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-model battery (benzene.pdb 5 MODELs / multi.gro 2 frames): every case
+# evaluated per swapped-in frame, pinned per frame by the independent naive
+# evaluator. Covers the multi-model shape the albumin corpus cannot.
+# ---------------------------------------------------------------------------
+
+FIXTURE_MULTI = (
+    pathlib.Path(__file__).parent / "fixtures" / "selection_golden_multi.json"
+)
+
+_multi = json.loads(FIXTURE_MULTI.read_text())
+
+
+@pytest.mark.parametrize(
+    "fname,sel",
+    [
+        (f, s)
+        for f, entry in sorted(_multi["files"].items())
+        for s in sorted(entry["cases"])
+    ],
+)
+def test_golden_selection_multimodel(ref_data, fname, sel):
+    from molar_tpu.io import FileHandler
+
+    entry = _multi["files"][fname]
+    system = System.from_file(str(ref_data / fname))
+    assert system.n_atoms == entry["n_atoms"]
+    fh = FileHandler(str(ref_data / fname))
+    wants = entry["cases"][sel]
+    n = 0
+    for k, st in enumerate(fh.iter_states()):
+        system.set_state(st)
+        got = system.select(sel).indices.tolist()
+        assert got == wants[k], f"{fname} frame {k}: {sel!r}"
+        n += 1
+    fh.close()
+    assert n == entry["n_frames"]

@@ -334,3 +334,140 @@ def test_overflow_retry_exhausted_raises(tmp_path):
             TrajectoryReader([str(path)]), 4, build_fn, n_tiers=2,
             overflow_of=lambda r: r[1],
         )
+
+
+def test_iter_windows_skip_phase_across_files(tmp_path):
+    """The skip phase must carry across concatenated files exactly as
+    iter_states does (analysis_task.rs:205-234) — it previously restarted
+    at each file boundary in the windowed path."""
+    p1, p2 = tmp_path / "a.xtc", tmp_path / "b.xtc"
+    _write_traj(p1, 16, 7, t0=0.0)
+    _write_traj(p2, 16, 9, t0=7.0)
+    reader = TrajectoryReader([str(p1), str(p2)], skip=3)
+    from_states = [fr for fr, _ in reader.iter_states()]
+    from_windows = np.concatenate(
+        [ids for *_, ids in reader.iter_windows(4)]
+    ).tolist()
+    assert from_states == [0, 3, 6, 9, 12, 15]
+    assert from_windows == from_states
+
+
+def test_overflow_retry_multifile_skip(tmp_path):
+    """A flagged window in the SECOND file with skip=3: the by-range re-read
+    must honor the carried skip phase and the retry must succeed."""
+    from molar_tpu.ops import neighbor
+
+    rng = np.random.default_rng(3)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    p1, p2 = tmp_path / "a.xtc", tmp_path / "b.xtc"
+    w = XtcHandler(str(p1), "w")
+    for k in range(7):  # global frames 0..6; kept (skip=3): 0, 3, 6
+        w.write_raw(rng.uniform(0, 4, (64, 3)).astype(np.float32), box,
+                    step=k, time=float(k))
+    w.close()
+    w = XtcHandler(str(p2), "w")
+    for k in range(9):  # global frames 7..15; kept: 9, 12, 15
+        gk = 7 + k
+        if gk in (9, 12):  # pile-up: overflow the kept window
+            c = rng.uniform(0.1, 0.4, (64, 3)).astype(np.float32)
+        else:
+            c = rng.uniform(0, 4, (64, 3)).astype(np.float32)
+        w.write_raw(c, box, step=gk, time=float(gk))
+    w.close()
+
+    dims = neighbor.grid_dims([4.0, 4.0, 4.0], 0.5)
+    idx = jnp.arange(64)
+
+    def build_fn(tier):
+        cap = (8, 72)[min(tier, 1)]
+
+        @jax.jit
+        def fn(coords, boxes, invs, times):
+            def per_frame(carry, frame):
+                c, b, i = frame
+                mask, ofl = neighbor.within_mask(
+                    c, idx, idx, cutoff=0.5, box=b, inv=i, dims=dims, cap=cap
+                )
+                return carry, (jnp.sum(mask), ofl)
+
+            _, (cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
+            return cnt, ofl
+
+        return fn
+
+    reader = TrajectoryReader([str(p1), str(p2)], skip=3)
+    results, retried = run_with_overflow_retry(
+        reader, 3, build_fn, n_tiers=2, overflow_of=lambda r: r[1]
+    )
+    assert retried == 1
+    got_ids = np.concatenate([ids for ids, _ in results]).tolist()
+    assert got_ids == [0, 3, 6, 9, 12, 15]
+    for _, r in results:
+        assert not np.any(np.asarray(r[1]))
+    # counts match the host search on the retried window's frames
+    from molar_tpu import PBC_FULL, PeriodicBox
+    from molar_tpu.ops import neighbor_host
+
+    all_counts = np.concatenate([np.asarray(r[0]) for _, r in results])
+    pbox = PeriodicBox(np.diag([4.0, 4.0, 4.0]))
+    h = XtcHandler(str(p2), "r")
+    for local, gk in ((2, 9), (5, 12)):
+        st = h.read_frame(gk - 7)
+        want = len(neighbor_host.search_within(
+            0.5, st.coords, np.arange(64), np.arange(64), pbox, PBC_FULL))
+        assert all_counts[local] == want
+    h.close()
+
+
+def test_overflow_retry_falls_back_to_per_frame_reread(tmp_path):
+    """Non-monotonic times (restarted clock mid-file) + a time-based begin
+    filter: the by-range window re-read cannot reproduce the frame set (the
+    sub-reader has no time filter, so its skip phase differs) and the retry
+    must fall back to per-frame random access instead of dying."""
+    from molar_tpu.ops import neighbor
+
+    rng = np.random.default_rng(5)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    path = tmp_path / "glitch.xtc"
+    # times: 0 1 2 3 0 5 6 7 — frame 4's clock restarted; begin.time=1
+    # makes it ineligible, so with skip=2 the kept frames are 1, 3, 6.
+    times = [0.0, 1.0, 2.0, 3.0, 0.0, 5.0, 6.0, 7.0]
+    w = XtcHandler(str(path), "w")
+    for k, t in enumerate(times):
+        if k in (3, 6):  # overflow the kept window
+            c = rng.uniform(0.1, 0.4, (64, 3)).astype(np.float32)
+        else:
+            c = rng.uniform(0, 4, (64, 3)).astype(np.float32)
+        w.write_raw(c, box, step=k, time=t)
+    w.close()
+
+    dims = neighbor.grid_dims([4.0, 4.0, 4.0], 0.5)
+    idx = jnp.arange(64)
+
+    def build_fn(tier):
+        cap = (8, 72)[min(tier, 1)]
+
+        @jax.jit
+        def fn(coords, boxes, invs, times):
+            def per_frame(carry, frame):
+                c, b, i = frame
+                mask, ofl = neighbor.within_mask(
+                    c, idx, idx, cutoff=0.5, box=b, inv=i, dims=dims, cap=cap
+                )
+                return carry, (jnp.sum(mask), ofl)
+
+            _, (cnt, ofl) = jax.lax.scan(per_frame, 0, (coords, boxes, invs))
+            return cnt, ofl
+
+        return fn
+
+    reader = TrajectoryReader([str(path)], begin=FrameSpec(time=1.0), skip=2)
+    assert [fr for fr, _ in reader.iter_states()] == [1, 3, 6]
+    results, retried = run_with_overflow_retry(
+        reader, 3, build_fn, n_tiers=2, overflow_of=lambda r: r[1]
+    )
+    assert retried == 1
+    got_ids = np.concatenate([ids for ids, _ in results]).tolist()
+    assert got_ids == [1, 3, 6]
+    for _, r in results:
+        assert not np.any(np.asarray(r[1]))

@@ -212,6 +212,43 @@ def battery_protein(nv: Naive):
     return cases
 
 
+OUT_MULTI = REPO / "tests" / "fixtures" / "selection_golden_multi.json"
+
+
+def battery_benzene(nv: Naive):
+    """Per-model cases for benzene.pdb (5 MODELs, 12 atoms): the multi-model
+    shape the albumin corpus cannot cover — state-dependent selections must
+    track the swapped-in model."""
+    c1 = nv.names == "C1"
+    carbons = np.char.startswith(nv.names.astype(str), "C")
+    return [
+        ("name C1", c1),
+        ("name /C.*/", carbons),
+        ("within 0.2 of name C1", nv.within(0.2, c1)),
+        ("within 0.15 pbc of name C1", nv.within(0.15, c1, pbc=True)),
+        ("x > 1.7", nv.x > 1.7),
+        ("x > x of com of name /C.*/", nv.x > nv.com(carbons)[0]),
+        ("dist point 1.66 1.77 1.67 < 0.2",
+         np.linalg.norm(nv.coords - [1.66, 1.77, 1.67], axis=1) < 0.2),
+    ]
+
+
+def battery_multigro(nv: Naive):
+    """Per-frame cases for multi.gro (2 frames of the 4295-atom protein)."""
+    protein = np.isin(nv.resnames, list(PROTEIN_RESNAMES))
+    ca = nv.names == "CA"
+    r560 = nv.resid == 560
+    return [
+        ("protein", protein),
+        ("name CA and x > 4.0", ca & (nv.x > 4.0)),
+        ("within 0.4 of resid 560", nv.within(0.4, r560)),
+        ("within 0.5 pbc of resid 560", nv.within(0.5, r560, pbc=True)),
+        ("x > x of com of name CA", nv.x > nv.com(ca)[0]),
+        ("same residue as within 0.35 of resid 560",
+         nv.same_residue(nv.within(0.35, r560))),
+    ]
+
+
 def main():
     sys_ = System.from_file(str(REF_TESTS / "protein.pdb"))
     nv = Naive(sys_)
@@ -227,6 +264,35 @@ def main():
     OUT.parent.mkdir(parents=True, exist_ok=True)
     OUT.write_text(json.dumps(golden))
     print(f"wrote {len(golden['cases'])} cases ({n_empty} empty skipped) to {OUT}")
+
+    # Multi-model battery: every case evaluated against EVERY model/frame of
+    # the file, so state-dependent selections are pinned per frame.
+    from molar_tpu.io import FileHandler
+
+    multi = {"files": {}}
+    for fname, battery in (
+        ("benzene.pdb", battery_benzene),
+        ("multi.gro", battery_multigro),
+    ):
+        s = System.from_file(str(REF_TESTS / fname))
+        fh = FileHandler(str(REF_TESTS / fname))
+        per_sel: dict = {}
+        n_frames = 0
+        for st in fh.iter_states():
+            n_frames += 1
+            s.set_state(st)
+            nv = Naive(s)
+            for sel, mask in battery(nv):
+                per_sel.setdefault(sel, []).append(np.nonzero(mask)[0].tolist())
+        fh.close()
+        multi["files"][fname] = {
+            "n_atoms": int(s.n_atoms),
+            "n_frames": n_frames,
+            "cases": per_sel,
+        }
+        print(f"{fname}: {len(per_sel)} cases x {n_frames} frames")
+    OUT_MULTI.write_text(json.dumps(multi))
+    print(f"wrote multi-model battery to {OUT_MULTI}")
 
 
 if __name__ == "__main__":
