@@ -132,6 +132,14 @@ def main() -> int:
                     "bit-exact; falls back to i16 when deltas exceed int8)")
     ap.add_argument("--repeats", type=int, default=3,
                     help="timed passes over the trajectory; best fps reported")
+    ap.add_argument("--no-put", action="store_true", dest="no_put",
+                    help="skip the explicit per-window device_put; host "
+                    "arrays ride the execute call (1 RPC instead of 2 per "
+                    "window on serializing tunnels)")
+    ap.add_argument("--queue-depth", type=int, default=2, dest="queue_depth",
+                    help="windows in flight (decode+put runs this many "
+                    "windows ahead of compute; higher depths let all puts "
+                    "land before the executes drain on serializing tunnels)")
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard each window's frame axis over N devices "
                     "(production multi-chip path: shard_map window programs "
@@ -234,8 +242,10 @@ def main() -> int:
                     [c[:, 0][pidx_j], c[:, 1][pidx_j], c[:, 2][pidx_j]], axis=-1
                 )
                 rmsd, _, _ = measure.fit_rmsd(sel, ref_j, pm_j)
+                # src_idx=None: the source set is ALL atoms, so the three
+                # (n,) identity source gathers are elided (round-3 win).
                 mask, overflow = neighbor.within_mask(
-                    c, aidx_j, pidx_j, cutoff=args.cutoff, box=b, inv=i,
+                    c, None, pidx_j, cutoff=args.cutoff, box=b, inv=i,
                     dims=dims, cap=cap, tgt_cap=tcap,
                     max_tgt_cells=max_tgt_cells,
                 )
@@ -309,7 +319,8 @@ def main() -> int:
             results, retried = run_with_overflow_retry(
                 reader, args.window, cached_build, n_tiers=4,
                 overflow_of=lambda r: r[3], quantized=quant_mode,
-                mesh=mesh,
+                mesh=mesh, queue_depth=args.queue_depth,
+                device_put=not args.no_put,
             )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)

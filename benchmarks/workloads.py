@@ -195,130 +195,84 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
 
 
 def wl_sasa(system, xtc, window):
-    """Per-residue SASA time series — EXACT device Lee-Richards (sasa_lr),
-    Verlet-skin neighbor lists rebuilt only when drift exceeds skin/2."""
+    """Per-residue SASA time series — EXACT device Lee-Richards, neighbor
+    lists rebuilt ON DEVICE every frame (sasa_lr.neighbor_lists_device).
+
+    Round-2 ran host Verlet lists (skin 0.3): the host rebuild cost seconds
+    and fired on ~7/8 windows, and the fat skin tripled K (the union-sort
+    width). The round-3 form builds skin=0 lists inside the scanned window
+    program — no host syncs, no drift checks, ~3x smaller K.
+    """
     import jax
     import jax.numpy as jnp
 
-    from molar_tpu.ops import sasa_lr
+    from molar_tpu.ops import neighbor, sasa_lr
 
     sel = system("resname ALA")
     radii_np = sel.topology.vdw()[sel.indices].astype(np.float64) + 0.14
     radii = jnp.asarray(radii_np, jnp.float32)
     seg = jnp.asarray(sel.segment_ids())
     nseg = int(seg[-1]) + 1
-    idx = sel.indices
-    # skin/2 must cover the drift a window can accumulate from its own first
-    # frame (rebuilds happen at window granularity): sigma 0.01/frame over an
-    # 8-frame window is ~0.12 nm max displacement at 4k atoms. A bigger skin
-    # is NOT free: neighbor counts grow as (0.62 + skin)^3 at this density
-    # (skin 0.5 measured K ~ 590 vs ~330 at 0.3).
-    skin = 0.3
+    idx = jnp.asarray(sel.indices)
 
-    @jax.jit
-    def fn(coords, nbj, build_coords):
-        def per_frame(carry, c):
-            x = jnp.stack(
-                [c[:, 0][jnp.asarray(idx)], c[:, 1][jnp.asarray(idx)],
-                 c[:, 2][jnp.asarray(idx)]], -1)
-            areas = sasa_lr.sasa(x, radii, nbj, n_slices=32, block=1024)
-            drift = sasa_lr.max_displacement(x, build_coords)
-            return carry, (
-                jax.ops.segment_sum(areas, seg, num_segments=nseg),
-                drift,
-            )
-        return jax.lax.scan(per_frame, 0, coords)[1]
+    extents = system.state.box.box_extents()
+    cut = 2 * float(radii_np.max())
+    dims = neighbor.grid_dims(extents, cut)
+    inv = np.diag(1.0 / np.asarray(extents, np.float64))
 
-    def build_lists(c):
-        cap = 96
-        while True:
-            nb, ofl = sasa_lr.neighbor_lists(c, radii_np, cap=cap, skin=skin)
-            if not ofl:
-                return nb, cap
-            cap += 48
+    # Frame-0 exact counts size the static caps; overflow escalates tiers.
+    c0 = system.state.coords[np.asarray(idx)].astype(np.float64)
+    nb0, _ = sasa_lr.neighbor_lists(c0, radii_np, cap=1024, skin=0.0)
+    k0 = int((nb0 >= 0).sum(1).max())
+    cell0, _, _ = neighbor.estimate_caps(c0, inv, dims, margin=1.0, round_to=1)
+    total0 = int((nb0 >= 0).sum())
 
-    build_c = system.state.coords[idx].astype(np.float64)
-    nb, cap0 = build_lists(build_c)
-    nbj = jnp.asarray(nb)
-    build_j = jnp.asarray(build_c, jnp.float32)
+    def build_fn(tier):
+        gr = 1.5**tier
+        k_cap = (int(k0 * 1.25 * gr) + 15) // 16 * 16
+        cell_cap = (int(cell0 * 1.25 * gr) + 7) // 8 * 8
+        max_pairs = 1 << max(int(np.ceil(np.log2(total0 * 1.5 * gr))), 12)
 
-    @jax.jit
-    def fn1(c, nbj_, build_coords):
-        x = jnp.stack(
-            [c[:, 0][jnp.asarray(idx)], c[:, 1][jnp.asarray(idx)],
-             c[:, 2][jnp.asarray(idx)]], -1)
-        areas = sasa_lr.sasa(x, radii, nbj_, n_slices=32, block=1024)
-        return (
-            jax.ops.segment_sum(areas, seg, num_segments=nseg),
-            sasa_lr.max_displacement(x, build_coords),
-        )
+        @jax.jit
+        def fn(coords, boxes, invs, times):
+            def per_frame(carry, c):
+                x = jnp.stack(
+                    [c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1
+                )
+                nbr, ofl = sasa_lr.neighbor_lists_device(
+                    x, radii, extents, dims, cell_cap, k_cap, max_pairs
+                )
+                areas = sasa_lr.sasa(x, radii, nbr, n_slices=32, block=1024)
+                return carry, (
+                    jax.ops.segment_sum(areas, seg, num_segments=nseg),
+                    ofl,
+                )
+            return jax.lax.scan(per_frame, 0, coords)[1]
 
-    def per_frame_window(coords):
-        """Fallback for windows whose own internal drift exceeds skin/2
-        (fast trajectories): rebuild and evaluate frame by frame — drift
-        from a frame's own build position is zero, so this always holds."""
-        nonlocal nbj, build_j, cap0
-        rows = []
-        for k in range(len(coords)):
-            bc = coords[k][idx].astype(np.float64)
-            nb_k, ofl = sasa_lr.neighbor_lists(bc, radii_np, cap=cap0, skin=skin)
-            if ofl:
-                nb_k, cap0 = build_lists(bc)
-            nbj = jnp.asarray(nb_k)
-            build_j = jnp.asarray(bc, jnp.float32)
-            row, _ = fn1(jnp.asarray(coords[k]), nbj, build_j)
-            rows.append(np.asarray(row))
-        return np.stack(rows)
+        return fn
 
-    # Rebuilds happen at window granularity, so the window bounds the drift
-    # the skin must absorb; cap it at 8 frames for this workload.
     window = min(window, 8)
-    warmed = set()
-    for coords, *_ in _windows(xtc, window):
-        # Warm every distinct window shape (incl. a shorter trailing window)
-        # so no compile lands inside the timed pass.
-        if len(coords) not in warmed:
-            warmed.add(len(coords))
-            jax.block_until_ready(fn(jax.device_put(coords), nbj, build_j))
-            if not warmed - {len(coords)}:
-                # Warm the per-frame fallback program too: a fast-drifting
-                # window would otherwise pay fn1's multi-minute axon compile
-                # inside the timed pass.
-                jax.block_until_ready(fn1(jax.device_put(coords[0]), nbj, build_j))
-    n = 0
-    outs = []
-    rebuilds = 0
-    fallbacks = 0
-    t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
-        out, drift = fn(jax.device_put(coords), nbj, build_j)
-        if float(np.max(np.asarray(drift))) >= skin / 2:
-            # Verlet rebuild from this window's first frame, then redo it.
-            # Keep the cap (array shape) stable so the jit doesn't retrace
-            # unless the rebuilt lists genuinely need a bigger capacity.
-            rebuilds += 1
-            build_c = coords[0][idx].astype(np.float64)
-            nb, ofl = sasa_lr.neighbor_lists(build_c, radii_np, cap=cap0, skin=skin)
-            if ofl:
-                nb, cap0 = build_lists(build_c)
-            nbj = jnp.asarray(nb)
-            build_j = jnp.asarray(build_c, jnp.float32)
-            out, drift = fn(jax.device_put(coords), nbj, build_j)
-            if float(np.max(np.asarray(drift))) >= skin / 2:
-                # Still drifting after a window-start rebuild: this window
-                # itself moves faster than the skin absorbs — degrade to
-                # per-frame rebuilds instead of aborting the run.
-                fallbacks += 1
-                out = per_frame_window(coords)
-        outs.append(out)
-        n += len(ids)
-    jax.block_until_ready(outs)
-    if rebuilds or fallbacks:
-        # Visible marker that the timed pass did extra (possibly
-        # compile-contaminated) work — read the fps with that in mind.
-        print(f"#   sasa: {rebuilds} window rebuilds, {fallbacks} per-frame "
-              "fallbacks", file=sys.stderr)
-    return n, time.perf_counter() - t0
+    fns = {0: build_fn(0)}
+    for tier in range(3):
+        fn = fns.setdefault(tier, build_fn(tier))
+        warmed = set()
+        for coords, *_ in _windows(xtc, window):
+            if len(coords) not in warmed:
+                warmed.add(len(coords))
+                jax.block_until_ready(fn(jax.device_put(coords), None, None, None))
+        n = 0
+        outs = []
+        t0 = time.perf_counter()
+        for coords, boxes, invs, times, ids in _windows(xtc, window):
+            outs.append(fn(jax.device_put(coords), None, None, None))
+            n += len(ids)
+        jax.block_until_ready(outs)
+        el = time.perf_counter() - t0
+        if not any(bool(np.any(np.asarray(o[1]))) for o in outs):
+            return n, el
+        print(f"#   sasa: capacity overflow at tier {tier}, escalating",
+              file=sys.stderr)
+    raise RuntimeError("sasa workload still overflows at the largest tier")
 
 
 def wl_trjconv(system, xtc):

@@ -451,11 +451,7 @@ class Membrane:
                 self._smooth()
                 self._patches_from_nth_shell(self.options.n_shells_patch)
             self._smooth()
-        for lip in self.lipids:
-            if lip.valid:
-                lip.compute_order(
-                    sys, self.options.order_type, self.options.global_normal
-                )
+        self._compute_order_all()
         self._smooth_curvature(self.options.n_shells_smoothing)
         for gr in self.groups.values():
             gr.frame_update(self.lipids)
@@ -608,6 +604,19 @@ class Membrane:
         for lip in self.lipids:
             lip.patch_ids = []
         if len(markers) < 2:
+            return
+        m = len(markers)
+        if m <= 512:
+            # Brute-force min-image O(m^2) beats the cell-grid machinery at
+            # marker counts this small (markers = lipids, not atoms): this
+            # is a per-frame call and the grid path cost ~4 ms at m=72.
+            d = markers[:, None, :].astype(np.float64) - markers[None, :, :]
+            d = box.shortest_vector(d.reshape(-1, 3)).reshape(m, m, 3)
+            adj = (d * d).sum(-1) <= float(cutoff) ** 2
+            np.fill_diagonal(adj, False)
+            for a, b in zip(*np.nonzero(np.triu(adj))):
+                self.lipids[ids[a]].patch_ids.append(ids[b])
+                self.lipids[ids[b]].patch_ids.append(ids[a])
             return
         pairs, _ = neighbor_host.search_pairs(
             cutoff, markers, np.arange(len(markers)), None, box, PBC_FULL
@@ -781,6 +790,37 @@ class Membrane:
             lip.head_marker = smooth_p[lip.id] / smooth_n[lip.id]
         for lip in self._valid():
             lip.voro_vertexes = [v + lip.head_marker for v in lip.voro_vertexes]
+
+    def _compute_order_all(self) -> None:
+        """Species-grouped batched tail order parameters.
+
+        Replaces the per-lipid ``compute_order`` loop (which paid one numpy
+        dispatch chain per lipid per tail) with ONE
+        ``lipid_tail_order_batch`` call per (species, tail) — the batched
+        expression of the reference's per-lipid order computation
+        (molar_membrane/src/lib.rs). ``LipidMolecule.compute_order`` remains
+        as the single-lipid reference path.
+        """
+        coords = self.system.state.coords
+        gn = self.options.global_normal
+        by_sp: dict[str, list] = {}
+        for lip in self.lipids:
+            if lip.valid:
+                by_sp.setdefault(lip.species.name, []).append(lip)
+        for lips in by_sp.values():
+            sp = lips[0].species
+            firsts = np.array([l.sel.indices[0] for l in lips])
+            if gn is not None:
+                normals = np.asarray(gn, np.float64).reshape(1, 3)
+            else:
+                normals = np.stack([np.asarray(l.normal, np.float64) for l in lips])
+            for k, (offsets, orders) in enumerate(sp.tails):
+                tc = coords[firsts[:, None] + np.asarray(offsets)[None, :]]
+                vals = measure_host.lipid_tail_order_batch(
+                    self.options.order_type, tc, normals, orders
+                )
+                for r, l in enumerate(lips):
+                    l.order[k] = vals[r]
 
     def _patches_from_nth_shell(self, n_neib: int) -> None:
         if n_neib < 1:

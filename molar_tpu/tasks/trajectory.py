@@ -484,6 +484,8 @@ def run_with_overflow_retry(
     quantized: bool = False,
     n_threads: Optional[int] = None,
     mesh=None,
+    queue_depth: int = 2,
+    device_put: bool = True,
 ):
     """Stream windows through tier-0's window_fn; re-run overflowed windows
     at higher capacity tiers (the fixed-capacity + retry contract,
@@ -520,7 +522,7 @@ def run_with_overflow_retry(
     results: list = []
     pipeline = WindowPipeline(
         reader, window, fn0, quantized=quantized, n_threads=n_threads,
-        mesh=mesh,
+        mesh=mesh, queue_depth=queue_depth, device_put=device_put,
     )
     for ids, res in pipeline.run():
         results.append((ids, res))

@@ -197,3 +197,41 @@ def test_merge_stats_matches_single_run(tmp_path):
                     np.testing.assert_allclose(
                         mst["order"][k].mean, acc.mean, rtol=1e-10, atol=1e-12
                     )
+
+
+def test_lipid_tail_order_batch_matches_scalar():
+    """lipid_tail_order_batch == per-lipid lipid_tail_order for every order
+    type, incl. a double-bonded tail (bond order 2 branch)."""
+    from molar_tpu.ops import measure_host
+
+    rng = np.random.default_rng(11)
+    L, n = 7, 8
+    coords = np.cumsum(rng.normal(0.1, 0.05, (L, n, 3)), axis=1)
+    normals = measure_host_unit(rng.normal(size=(L, 3)))
+    for bond_orders in (
+        np.ones(n - 1, dtype=int),
+        np.array([1, 1, 2, 1, 1, 2, 1]),
+    ):
+        for order_type in ("sz", "scd", "scdcorr"):
+            batch = measure_host.lipid_tail_order_batch(
+                order_type, coords, normals, bond_orders
+            )
+            for l in range(L):
+                single = measure_host.lipid_tail_order(
+                    order_type, coords[l], normals[l].reshape(1, 3), bond_orders
+                )
+                np.testing.assert_allclose(batch[l], single, atol=1e-12)
+    # global normal broadcast form
+    g = np.array([[0.0, 0.0, 1.0]])
+    batch = measure_host.lipid_tail_order_batch(
+        "scdcorr", coords, g, np.ones(n - 1, dtype=int)
+    )
+    for l in range(L):
+        single = measure_host.lipid_tail_order(
+            "scdcorr", coords[l], g, np.ones(n - 1, dtype=int)
+        )
+        np.testing.assert_allclose(batch[l], single, atol=1e-12)
+
+
+def measure_host_unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)

@@ -259,3 +259,44 @@ def test_estimate_caps_bounds_real_occupancy():
         dims=dims, cap=cap8, tgt_cap=tcap8,
     )
     assert not bool(ofl)
+
+
+def test_src_none_means_all_atoms():
+    # src_idx=None skips the identity source gathers (hot-path saving);
+    # result must equal the explicit arange form on every path.
+    box = PeriodicBox(np.diag([5.0, 5.0, 5.0]).astype(np.float32))
+    rng = np.random.default_rng(41)
+    coords = rng.uniform(0, 5, (500, 3)).astype(np.float32)
+    src = np.arange(500)
+    tgt = rng.choice(500, 40, replace=False)
+    tgt.sort()
+    dims = neighbor.grid_dims(box.box_extents(), 0.5)
+    for kw in (dict(), dict(max_tgt_cells=256), dict(ghost=True)):
+        a, ofl_a = neighbor.within_mask(
+            jnp.asarray(coords), None, jnp.asarray(tgt), cutoff=0.5,
+            box=jnp.asarray(box.matrix), inv=jnp.asarray(box.inv),
+            dims=dims, cap=32, tgt_cap=16, **kw,
+        )
+        b, ofl_b = neighbor.within_mask(
+            jnp.asarray(coords), jnp.asarray(src), jnp.asarray(tgt),
+            cutoff=0.5, box=jnp.asarray(box.matrix), inv=jnp.asarray(box.inv),
+            dims=dims, cap=32, tgt_cap=16, **kw,
+        )
+        assert not bool(ofl_a) and not bool(ofl_b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # triclinic path too
+    tb = PeriodicBox.from_vectors_angles(3.0, 3.2, 3.4, 75.0, 80.0, 70.0)
+    tc = rng.uniform(0, 3, (300, 3)).astype(np.float32)
+    tdims = neighbor.grid_dims(tb.box_extents(), 0.5)
+    a, _ = neighbor.within_mask(
+        jnp.asarray(tc), None, jnp.asarray(np.arange(0, 300, 5)), cutoff=0.5,
+        box=jnp.asarray(tb.matrix), inv=jnp.asarray(tb.inv),
+        corrections=jnp.asarray(tb.padded_corrections()), dims=tdims, cap=64,
+    )
+    b, _ = neighbor.within_mask(
+        jnp.asarray(tc), jnp.asarray(np.arange(300)),
+        jnp.asarray(np.arange(0, 300, 5)), cutoff=0.5,
+        box=jnp.asarray(tb.matrix), inv=jnp.asarray(tb.inv),
+        corrections=jnp.asarray(tb.padded_corrections()), dims=tdims, cap=64,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -101,3 +101,67 @@ def test_sasa_series_update_reuse():
         want = sasa_host.sasa(c, vdw, probe=0.14, n_slices=32)
         assert _rel_err(got, want) < 1e-4, k
     assert ss.rebuilds >= 1
+
+
+def test_device_neighbor_lists_match_host_areas():
+    """neighbor_lists_device (cell-grid, on-device, skin=0) must yield the
+    SAME SASA as host-built skin=0 lists — membership may jitter only at
+    exact-touching distances, which clip measure-zero arcs."""
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import neighbor, sasa_lr
+
+    rng = np.random.default_rng(19)
+    n = 300
+    coords = rng.uniform(0.8, 3.2, (n, 3)).astype(np.float64)
+    radii = rng.uniform(0.25, 0.35, n)
+    nb_host, ofl = sasa_lr.neighbor_lists(coords, radii, cap=256, skin=0.0)
+    assert not ofl
+    extents = (4.0, 4.0, 4.0)
+    dims = neighbor.grid_dims(extents, 2 * radii.max())
+    nb_dev, ofl_d = sasa_lr.neighbor_lists_device(
+        jnp.asarray(coords, jnp.float32), jnp.asarray(radii, jnp.float32),
+        extents, dims, cell_cap=64, k_cap=256, max_pairs=1 << 16,
+    )
+    assert not bool(ofl_d)
+    cj = jnp.asarray(coords, jnp.float32)
+    rj = jnp.asarray(radii, jnp.float32)
+    a_host = np.asarray(sasa_lr.sasa(cj, rj, jnp.asarray(nb_host), n_slices=32))
+    a_dev = np.asarray(sasa_lr.sasa(cj, rj, nb_dev, n_slices=32))
+    np.testing.assert_allclose(a_dev, a_host, atol=1e-5)
+    # and the list membership itself agrees away from the touching boundary
+    d = np.linalg.norm(coords[:, None] - coords[None, :], axis=-1)
+    rr = radii[:, None] + radii[None, :]
+    for i in range(0, n, 37):
+        host_set = set(nb_host[i][nb_host[i] >= 0].tolist())
+        dev_set = set(np.asarray(nb_dev[i])[np.asarray(nb_dev[i]) >= 0].tolist())
+        diff = host_set ^ dev_set
+        for j in diff:
+            assert abs(d[i, j] - rr[i, j]) < 1e-5, (i, j)
+
+
+def test_sasa_window_scan_matches_per_frame():
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import neighbor, sasa_lr
+
+    rng = np.random.default_rng(23)
+    n, b = 150, 3
+    base = rng.uniform(1.0, 3.0, (n, 3)).astype(np.float32)
+    frames = np.stack([base + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+                       for _ in range(b)])
+    radii = jnp.asarray(rng.uniform(0.25, 0.35, n), jnp.float32)
+    extents = (4.0, 4.0, 4.0)
+    dims = neighbor.grid_dims(extents, 2 * float(np.asarray(radii).max()))
+    areas, ofl = sasa_lr.sasa_window(
+        jnp.asarray(frames), radii, extents, dims,
+        cell_cap=64, k_cap=128, max_pairs=1 << 15, n_slices=32,
+    )
+    assert not np.any(np.asarray(ofl))
+    for k in range(b):
+        nbr, o = sasa_lr.neighbor_lists_device(
+            jnp.asarray(frames[k]), radii, extents, dims, 64, 128, 1 << 15
+        )
+        want = sasa_lr.sasa(jnp.asarray(frames[k]), radii, nbr, n_slices=32)
+        np.testing.assert_allclose(np.asarray(areas[k]), np.asarray(want),
+                                   atol=1e-6)
