@@ -130,8 +130,15 @@ def main() -> int:
                     "(half the bytes, bit-exact); or i8 frame-to-frame deltas "
                     "of those ints (roughly quarter the bytes, still "
                     "bit-exact; falls back to i16 when deltas exceed int8)")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="timed passes over the trajectory; best fps reported")
+    ap.add_argument("--repeats", type=int, default=4,
+                    help="timed passes over the trajectory; best fps "
+                    "reported (the tunnel's transfer bandwidth swings "
+                    "30 MB/s-1.3 GB/s minute to minute — more repeats "
+                    "sample more weather)")
+    ap.add_argument("--ordered", action="store_true",
+                    help="stage ALL window transfers before the first "
+                    "execute (no put/execute interleaving on the device "
+                    "stream; whole pass resident — fine for delta windows)")
     ap.add_argument("--no-put", action="store_true", dest="no_put",
                     help="skip the explicit per-window device_put; host "
                     "arrays ride the execute call (1 RPC instead of 2 per "
@@ -320,7 +327,7 @@ def main() -> int:
                 reader, args.window, cached_build, n_tiers=4,
                 overflow_of=lambda r: r[3], quantized=quant_mode,
                 mesh=mesh, queue_depth=args.queue_depth,
-                device_put=not args.no_put,
+                device_put=not args.no_put, ordered=args.ordered,
             )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)

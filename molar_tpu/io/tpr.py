@@ -131,17 +131,41 @@ class TprHandler(FormatHandler):
         if mode != "r":
             raise FileIoError("tpr files are read-only")
         self.path = path
-        lib = _plugin()
-        h = lib.tpr_open(path.encode())
-        if not h:
-            raise GromacsPluginError(
-                f"tpr_open failed: {lib.molar_gmx_last_error().decode()}"
-            )
+        self._native = None
+        try:
+            lib = _plugin()
+            h = lib.tpr_open(path.encode())
+            if not h:
+                raise GromacsPluginError(
+                    f"tpr_open failed: {lib.molar_gmx_last_error().decode()}"
+                )
+        except Exception as plugin_err:
+            # No libgromacs on this machine (or it failed to open): fall
+            # back to the pure native tpx decoder (io/tpx.py), which covers
+            # GROMACS 2020+ files without any GROMACS installation.
+            from .tpx import TpxError, TpxNativeHandler
+
+            try:
+                self._native = TpxNativeHandler(path)
+            except (TpxError, OSError):
+                raise plugin_err
+            self._lib = None
+            self._h = None
+            return
         self._lib = lib
         self._h = h
         self._read_any = False
         self._stored_topology: Optional[Topology] = None
         self._stored_state: Optional[State] = None
+
+    def __getattribute__(self, name):
+        # Delegate the handler surface to the native fallback when active.
+        native = object.__getattribute__(self, "__dict__").get("_native")
+        if native is not None and name in (
+            "read", "read_topology", "read_state", "iter_states", "close",
+        ):
+            return getattr(native, name)
+        return object.__getattribute__(self, name)
 
     def close(self) -> None:
         if self._h:
@@ -222,15 +246,35 @@ class CptHandler(FormatHandler):
         if mode != "r":
             raise FileIoError("cpt files are read-only")
         self.path = path
-        lib = _plugin()
-        h = lib.cpt_open(path.encode())
-        if not h:
-            raise GromacsPluginError(
-                f"cpt_open failed: {lib.molar_gmx_last_error().decode()}"
-            )
+        self._native = None
+        try:
+            lib = _plugin()
+            h = lib.cpt_open(path.encode())
+            if not h:
+                raise GromacsPluginError(
+                    f"cpt_open failed: {lib.molar_gmx_last_error().decode()}"
+                )
+        except Exception as plugin_err:
+            from .tpx import CptNativeHandler, TpxError
+
+            try:
+                self._native = CptNativeHandler(path)
+            except (TpxError, OSError):
+                raise plugin_err
+            self._lib = None
+            self._h = None
+            return
         self._lib = lib
         self._h = h
         self._read_any = False
+
+    def __getattribute__(self, name):
+        native = object.__getattribute__(self, "__dict__").get("_native")
+        if native is not None and name in (
+            "read_state", "iter_states", "close",
+        ):
+            return getattr(native, name)
+        return object.__getattribute__(self, name)
 
     def close(self) -> None:
         if self._h:

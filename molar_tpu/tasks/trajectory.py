@@ -354,6 +354,7 @@ class WindowPipeline:
         invert_boxes: bool = True,
         quantized: bool = False,
         mesh=None,
+        ordered: bool = False,
     ):
         self.reader = reader
         self.window = window
@@ -363,6 +364,7 @@ class WindowPipeline:
         self.n_threads = n_threads
         self.invert_boxes = invert_boxes
         self.quantized = quantized
+        self.ordered = ordered
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import MeshWindowRunner
@@ -375,7 +377,11 @@ class WindowPipeline:
         """Yield (frame_ids, result_pytree) per window."""
         import jax
 
-        q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        # Ordered mode drains the whole stream before dispatching, so the
+        # queue must be unbounded or the feeder deadlocks against it.
+        q: queue.Queue = queue.Queue(
+            maxsize=0 if self.ordered else self.queue_depth
+        )
         stop = object()
         runner = self._runner
 
@@ -407,21 +413,45 @@ class WindowPipeline:
 
         t = threading.Thread(target=feeder, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
+
+        def dispatch(item):
             (coords, boxes, invs, times), ids, meta = item
             if runner is not None:
                 b, form = meta
                 out = runner.wrap(self.window_fn, form)(
                     coords, boxes, invs, times
                 )
-                yield ids, runner.trim(out, b)
-            else:
-                yield ids, self.window_fn(coords, boxes, invs, times)
+                return ids, runner.trim(out, b)
+            return ids, self.window_fn(coords, boxes, invs, times)
+
+        if self.ordered:
+            # Strict put-phase / execute-phase split: enqueue EVERY window's
+            # transfer before the first dispatch, so the device stream never
+            # interleaves puts between executes (remote-tunnel backends
+            # serialize interleaved RPC sequences far worse than the sum of
+            # their parts — docs/perf_notes.md transport findings). All
+            # windows stay resident at once: use for passes whose total
+            # transport fits HBM comfortably.
+            staged = []
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                staged.append(item)
+            t.join()
+            for item in staged:
+                yield dispatch(item)
+            return
+
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield dispatch(item)
         t.join()
 
 
@@ -486,6 +516,7 @@ def run_with_overflow_retry(
     mesh=None,
     queue_depth: int = 2,
     device_put: bool = True,
+    ordered: bool = False,
 ):
     """Stream windows through tier-0's window_fn; re-run overflowed windows
     at higher capacity tiers (the fixed-capacity + retry contract,
@@ -523,6 +554,7 @@ def run_with_overflow_retry(
     pipeline = WindowPipeline(
         reader, window, fn0, quantized=quantized, n_threads=n_threads,
         mesh=mesh, queue_depth=queue_depth, device_put=device_put,
+        ordered=ordered,
     )
     for ids, res in pipeline.run():
         results.append((ids, res))

@@ -60,11 +60,90 @@ def test_nc_facade_iteration(ref_data):
     assert all(np.diff([s.time for s in frames]) > 0)
 
 
-def test_tpr_graceful_error(ref_data, monkeypatch):
+def test_tpr_without_plugin_falls_back_to_native(ref_data, monkeypatch):
+    """No libgromacs on the machine: a modern tpr must still open via the
+    pure native tpx reader (round-3); garbage input still errors cleanly."""
     monkeypatch.delenv("MOLAR_GROMACS_PLUGIN", raising=False)
-    from molar_tpu.io.tpr import GromacsPluginError, _plugin
+    from molar_tpu.io.tpr import _plugin
 
     _plugin.cache_clear()
-    with pytest.raises(Exception) as exc:
-        FileHandler(str(ref_data / "topol.tpr"))
-    assert "GROMACS plugin" in str(exc.value)
+    fh = FileHandler(str(ref_data / "topol.tpr"))
+    top = fh.handler.read_topology()
+    assert top.n_atoms == 57747
+    fh.close()
+    import tempfile, os
+
+    bad = os.path.join(tempfile.mkdtemp(), "bad.tpr")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 64)
+    with pytest.raises(Exception):
+        FileHandler(bad)
+
+
+# ---------------------------------------------------------------------------
+# Native (no-libgromacs) TPR/CPT decode of the REAL reference fixtures
+# ---------------------------------------------------------------------------
+
+
+def test_native_tpr_real_file(ref_data):
+    """Decode the real topol.tpr (GROMACS 2021.4, tpx v122) with the pure
+    native reader and cross-validate the protein moltype against
+    protein.pdb — two completely independent sources of the same system."""
+    from molar_tpu import System
+
+    tpr = ref_data / "topol.tpr"
+    s = System.from_file(str(tpr))
+    assert s.n_atoms == 57747
+    assert len(s.topology.molecules) == 17875
+    # box is 8.3027 nm cubic
+    np.testing.assert_allclose(
+        np.diag(s.state.box.matrix), [8.302669] * 3, atol=1e-4
+    )
+    assert s.state.velocities is not None and s.state.velocities.shape == (
+        57747,
+        3,
+    )
+    # protein part == protein.pdb (names, resnames, resids, element)
+    p = System.from_file(str(ref_data / "protein.pdb"))
+    n = p.n_atoms
+    assert n == 4295
+    assert s.topology.names()[:n].tolist() == p.topology.names()[:n].tolist()
+    assert (
+        s.topology.resnames()[:n].tolist()
+        == p.topology.resnames()[:n].tolist()
+    )
+    np.testing.assert_array_equal(s.topology.resid[:n], p.topology.resid[:n])
+    # masses/charges came from the force field, elements from atomtypes
+    assert abs(float(s.topology.mass[:n].sum()) - 30472.35) < 1.0
+    assert s.topology.mass.min() > 0
+    # water is TIP3 3-site x 17768
+    assert (np.asarray(s.topology.resnames()) == "TIP3").sum() == 53304
+    # bonds: connectivity covers the protein (CONSTR h-bonds + harmonic)
+    assert len(s.topology.bonds) > 30000
+    b = np.asarray(s.topology.bonds)
+    assert b.min() >= 0 and b.max() < s.n_atoms
+    # selections work end-to-end on the decoded system
+    assert len(s("protein and name CA").indices) == 265
+
+
+def test_native_cpt_real_file(ref_data):
+    """Decode the real state.cpt (GROMACS 2024.4 run, cpt v23 container):
+    box, positions, velocities, step/time."""
+    from molar_tpu.io import FileHandler
+
+    with FileHandler(str(ref_data / "state.cpt")) as fh:
+        states = list(fh.iter_states())
+    assert len(states) == 1
+    st = states[0]
+    assert st.n_atoms == 96027
+    assert st.time == 100000.0
+    # triclinic box: column vectors (9.641, 0, 0), (4.821, 8.349, 0), ...
+    m = st.box.matrix
+    np.testing.assert_allclose(
+        [m[0, 0], m[0, 1], m[1, 1], m[2, 2]],
+        [9.641, 4.821, 8.349, 11.452],
+        atol=2e-3,
+    )
+    assert st.velocities is not None
+    # thermal velocity scale (nm/ps), not garbage
+    assert 0.1 < float(np.abs(st.velocities).mean()) < 2.0

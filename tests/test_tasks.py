@@ -471,3 +471,26 @@ def test_overflow_retry_falls_back_to_per_frame_reread(tmp_path):
     assert got_ids == [1, 3, 6]
     for _, r in results:
         assert not np.any(np.asarray(r[1]))
+
+
+def test_ordered_pipeline_matches_default(tmp_path):
+    """ordered=True (stage all transfers, then dispatch) must yield the
+    same windows/results as the streaming default."""
+    path = tmp_path / "t.xtc"
+    _write_traj(path, 32, 11)
+
+    @jax.jit
+    def fn(coords, boxes, invs, times):
+        return jnp.sum(coords, axis=(1, 2)), times
+
+    def run(ordered):
+        reader = TrajectoryReader([str(path)])
+        pipe = WindowPipeline(reader, 4, fn, ordered=ordered)
+        return [(ids.tolist(), np.asarray(r[0])) for ids, r in pipe.run()]
+
+    a = run(False)
+    b = run(True)
+    assert len(a) == len(b) == 3
+    for (i1, s1), (i2, s2) in zip(a, b):
+        assert i1 == i2
+        np.testing.assert_array_equal(s1, s2)
