@@ -78,7 +78,16 @@ def _write_xtc(system, path, n_frames, sigma=0.01, seed=1):
 def _windows(xtc, window):
     from molar_tpu.tasks.trajectory import TrajectoryReader
 
-    return TrajectoryReader([xtc]).iter_windows(window)
+    # i8-delta transport: ~quarter the H2D bytes, bit-exact reconstruction
+    # on device (the tunnel's transfer bandwidth is the workload wall at
+    # bad weather — docs/perf_notes.md round-3 decomposition).
+    return TrajectoryReader([xtc]).iter_windows(window, quantized="delta")
+
+
+def decode_window_coords(coords):
+    from molar_tpu.tasks.trajectory import decode_window_coords as _d
+
+    return _d(coords)
 
 
 def _timed_stream(fn, xtc, window, runner=None):
@@ -129,6 +138,7 @@ def wl_ca_rmsd(system, xtc, window, runner=None):
 
     @jax.jit
     def fn(coords, boxes, invs, times):
+        coords = decode_window_coords(coords)
         def per_frame(carry, c):
             s = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
             rmsd, _r, _s = measure.fit_rmsd(s, ref, masses)
@@ -149,11 +159,15 @@ def wl_com_splits(system, xtc, window, runner=None):
     masses = jnp.asarray(sel.masses)
     box = jnp.asarray(system.state.box.matrix)
 
+    # Frame-invariant: computed ONCE, not inside the scan body (XLA does
+    # not hoist loop-invariant segment reductions out of while loops).
+    msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
+
     @jax.jit
     def fn(coords, boxes, invs, times):
+        coords = decode_window_coords(coords)
         def per_frame(carry, c):
             x = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
-            msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
             com = (
                 jax.ops.segment_sum(x * masses[:, None], seg, num_segments=nseg)
                 / msum[:, None]
@@ -182,6 +196,7 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
 
     @jax.jit
     def fn(coords, boxes, invs, times):
+        coords = decode_window_coords(coords)
         def per_frame(carry, fr):
             c, b, i = fr
             pairs, dist, cnt, ofl = neighbor.contact_pairs(
@@ -235,6 +250,7 @@ def wl_sasa(system, xtc, window):
 
         @jax.jit
         def fn(coords, boxes, invs, times):
+            coords = decode_window_coords(coords)
             def per_frame(carry, c):
                 x = jnp.stack(
                     [c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1

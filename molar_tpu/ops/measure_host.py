@@ -199,7 +199,11 @@ def _angle(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _unit(v: np.ndarray) -> np.ndarray:
-    return v / np.linalg.norm(v)
+    # Degenerate input (zero cross product from perfectly collinear tail
+    # carbons) propagates NaN exactly like the reference's normalized();
+    # silence only the warning, not the semantics.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return v / np.linalg.norm(v)
 
 
 def lipid_tail_order_batch(
@@ -240,7 +244,8 @@ def lipid_tail_order_batch(
         raise MeasureError(f"need {n - 1} bond orders, got {len(bond_orders)}")
 
     def unit(v):
-        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
     def cosang(a, b):
         c = np.einsum("ld,ld->l", a, b) / (

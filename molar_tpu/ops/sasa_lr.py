@@ -301,15 +301,17 @@ def neighbor_lists_device(
             & (d2 < rr * rr)
             & (inb != rows_f[:, None])
         )
-        # Exclusive per-row rank continuing across offsets.
-        rank = count[:, None] + jnp.cumsum(hit, axis=1) - hit
+        # Exclusive per-row rank continuing across offsets (dtypes pinned to
+        # int32 so the fori carry is stable under the x64 build).
+        hit32 = hit.astype(jnp.int32)
+        rank = count[:, None] + jnp.cumsum(hit32, axis=1, dtype=jnp.int32) - hit32
         slot = jnp.where(
             hit & (rank < k_cap), rows_f[:, None] * k_cap + rank, dump
         )
         out = out.at[slot.reshape(-1)].set(
             jnp.where(hit, inb, -1).astype(jnp.int32).reshape(-1)
         )
-        count = count + jnp.sum(hit, axis=1)
+        count = count + jnp.sum(hit32, axis=1, dtype=jnp.int32)
         return count, out
 
     count0 = jnp.zeros(n, jnp.int32)
@@ -550,6 +552,7 @@ class SasaSeries:
         n_slices: int = 64,
         cap: int = 96,
         block: int = 2048,
+        extents=None,
     ):
         self.radii_np = np.asarray(vdw, np.float64) + probe
         self.skin = skin
@@ -557,7 +560,43 @@ class SasaSeries:
         self.block = block
         self.cap = cap
         self.rebuilds = 0
+        self.extents = extents
+        self._radii = jnp.asarray(self.radii_np, jnp.float32)
+        if extents is not None:
+            # Device mode (``extents`` = box extents, coords in [0, ext)):
+            # skin=0 lists rebuilt ON DEVICE inside every evaluate — no
+            # drift checks, no host rebuild stalls, ~3x smaller K.
+            from .neighbor import estimate_caps, grid_dims
+
+            c0 = np.asarray(coords, np.float64)
+            cut = 2 * float(self.radii_np.max())
+            self._dims = grid_dims(extents, cut)
+            nb0, _ = neighbor_lists(c0, self.radii_np, cap=2048, skin=0.0)
+            k0 = int((nb0 >= 0).sum(1).max())
+            inv = np.diag(1.0 / np.asarray(extents, np.float64))
+            cell0, _, _ = estimate_caps(
+                c0, inv, self._dims, margin=1.0, round_to=1
+            )
+            self._k_cap = (int(k0 * 1.3) + 15) // 16 * 16
+            self._cell_cap = (int(cell0 * 1.3) + 7) // 8 * 8
+            self._make_device_fn()
+            return
         self._build(np.asarray(coords, np.float64))
+
+    def _make_device_fn(self):
+        @jax.jit
+        def fn(c):
+            nbr, ofl = neighbor_lists_device(
+                c, self._radii, self.extents, self._dims,
+                self._cell_cap, self._k_cap, 0,
+            )
+            return (
+                sasa(c, self._radii, nbr, n_slices=self.n_slices,
+                     block=self.block),
+                ofl,
+            )
+
+        self._device_fn = fn
 
     def _build(self, coords) -> None:
         while True:
@@ -572,9 +611,20 @@ class SasaSeries:
         self._radii = jnp.asarray(self.radii_np, jnp.float32)
 
     def update(self, coords):
-        """Exact per-atom SASA for new coordinates, reusing the neighbor
-        list while it is still valid (drift < skin/2)."""
+        """Exact per-atom SASA for new coordinates. Host mode reuses the
+        Verlet list while it is still valid (drift < skin/2); device mode
+        rebuilds fixed-capacity lists on device every call (escalating the
+        static caps on overflow)."""
         c = jnp.asarray(coords, jnp.float32)
+        if self.extents is not None:
+            while True:
+                areas, ofl = self._device_fn(c)
+                if not bool(ofl):
+                    return areas
+                self.rebuilds += 1
+                self._k_cap = (self._k_cap * 3 // 2 + 15) // 16 * 16
+                self._cell_cap = (self._cell_cap * 3 // 2 + 7) // 8 * 8
+                self._make_device_fn()
         if float(max_displacement(c, self._build_coords)) >= self.skin / 2:
             self.rebuilds += 1
             self._build(np.asarray(coords, np.float64))

@@ -165,3 +165,22 @@ def test_sasa_window_scan_matches_per_frame():
         want = sasa_lr.sasa(jnp.asarray(frames[k]), radii, nbr, n_slices=32)
         np.testing.assert_allclose(np.asarray(areas[k]), np.asarray(want),
                                    atol=1e-6)
+
+
+def test_sasa_series_device_mode_matches_host_mode():
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import sasa_lr
+
+    rng = np.random.default_rng(31)
+    n = 200
+    base = rng.uniform(0.8, 3.2, (n, 3))
+    vdw = rng.uniform(0.11, 0.21, n)
+    host = sasa_lr.SasaSeries(base, vdw, skin=0.3, n_slices=32)
+    dev = sasa_lr.SasaSeries(base, vdw, n_slices=32, extents=(4.0, 4.0, 4.0))
+    c = base.copy()
+    for k in range(3):
+        c = c + rng.normal(0, 0.01, c.shape)
+        a = np.asarray(host.update(c))
+        b = np.asarray(dev.update(c))
+        np.testing.assert_allclose(b, a, atol=2e-5)
