@@ -117,10 +117,12 @@ def main() -> int:
     ap.add_argument("--atoms", type=int, default=100_000)
     ap.add_argument("--protein", type=int, default=5_000)
     ap.add_argument("--frames", type=int, default=256)
-    # Window 32 (~10 MB delta puts) measured 91/49/92 fps vs window 64
-    # (~19.5 MB puts) in an A/B/A on-chip comparison: the tunnel's put-size
-    # cliff sits below 19.5 MB in typical weather (docs/perf_notes.md).
-    ap.add_argument("--window", type=int, default=32)
+    # Smaller windows = smaller puts = better transfer weather odds:
+    # A/B/A measured w64 ~19.5 MB puts at 49 fps vs w32 ~10 MB at 91/92,
+    # and w16 ~5 MB at 94.6 vs w32 86.2 back-to-back; w16 trades ~10 fps of
+    # compute ceiling (108 vs 118) for materially better and tighter
+    # end-to-end draws (docs/perf_notes.md round-3 window table).
+    ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--cutoff", type=float, default=0.5)
     ap.add_argument("--box", type=float, default=10.0)
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke test")

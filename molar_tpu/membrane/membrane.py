@@ -32,7 +32,7 @@ import numpy as np
 from ..core.pbc import PBC_FULL
 from ..core.system import Sel, System
 from ..ops import measure_host, neighbor_host
-from ..ops.voronoi import VoronoiCell
+from ..ops.voronoi import VoronoiCell, voronoi_cells_batch
 
 
 class MembraneError(RuntimeError):
@@ -742,16 +742,39 @@ class Membrane:
         )
         fit_pts = saved[pid_s] + (zs - z)[..., None] * to_lab[:, None, :, 2]
 
+        # ALL lipids' Voronoi cells clip in one batched Sutherland-Hodgman
+        # sweep (bit-identical to the per-lipid VoronoiCell loop — the
+        # reference parallelizes exactly this loop, lib.rs:661-760).
+        vb, ebids, cb = voronoi_cells_batch(
+            local[:, :, :2], pid_s, pmask & valid[:, None],
+            -10.0, 10.0, -10.0, 10.0,
+        )
+        # Batched polygon geometry over the padded (L, V) cells: surface
+        # lift, lab-frame vertices, shoelace area (same per-edge summation
+        # order as the scalar form — bit-compatible).
+        V = vb.shape[1]
+        mvalid = np.arange(V)[None, :] < cb[:, None]
+        v2x, v2y = vb[:, :, 0], vb[:, :, 1]
+        zs_all = _z_surf(v2x, v2y, coefs.T[:, :, None])
+        voro_all = np.einsum(
+            "lij,lvj->lvi", to_lab, np.stack([v2x, v2y, zs_all], axis=-1)
+        )
+        idxV = np.arange(V)[None, :]
+        nxt_i = np.where(idxV + 1 < cb[:, None], idxV + 1, 0)
+        nxt_all = np.take_along_axis(voro_all, nxt_i[:, :, None], axis=1)
+        cr = np.cross(voro_all, nxt_all)
+        areas_all = 0.5 * np.where(
+            mvalid, np.linalg.norm(cr, axis=2), 0.0
+        ).sum(axis=1)
+
         for i, lip in enumerate(self.lipids):
             if not valid[i]:
                 continue
             n_p = counts[i]
-            vc = VoronoiCell(-10.0, 10.0, -10.0, 10.0)
-            for j, p in zip(lip.patch_ids, local[i, :n_p]):
-                vc.add_point(p[:2], j)
-            verts = vc.vertices()
-            lip.neib_ids = [k for _, k in verts if k >= 0]
-            if len(lip.neib_ids) < len(verts):
+            m = int(cb[i])
+            vert_ids = ebids[i, :m]
+            lip.neib_ids = [int(k) for k in vert_ids if k >= 0]
+            if len(lip.neib_ids) < m:
                 lip.valid = False  # patch touches the bounding wall
                 valid[i] = False
                 continue
@@ -767,12 +790,8 @@ class Membrane:
                 ],
                 axis=1,
             )
-            v2 = np.array([p for p, _ in verts])
-            zsurf = _z_surf(v2[:, 0], v2[:, 1], coefs[i])
-            voro = (to_lab[i] @ np.stack([v2[:, 0], v2[:, 1], zsurf])).T
-            lip.voro_vertexes = list(voro)
-            nxt = np.roll(voro, -1, axis=0)
-            lip.area = 0.5 * np.linalg.norm(np.cross(voro, nxt), axis=1).sum()
+            lip.voro_vertexes = list(voro_all[i, :m])
+            lip.area = areas_all[i]
             lip.fitted_patch_points = list(fit_pts[i, :n_p])
             if abs(coefs[i, 5]) > 0.5:
                 lip.valid = False

@@ -97,3 +97,85 @@ class VoronoiCell:
     def vertices(self):
         """(position (2,) array, outgoing edge id) pairs, counterclockwise."""
         return [(np.array(v), i) for v, i in zip(self.verts, self.edge_ids)]
+
+
+def voronoi_cells_batch(points, ids, pmask, xmin, xmax, ymin, ymax):
+    """Batched half-plane clipping: L independent VoronoiCells at once.
+
+    ``points`` (L, P, 2) float64 — the k-th bisector point of every cell;
+    ``ids`` (L, P) int — the neighbor id each cut carries; ``pmask`` (L, P)
+    — which cuts exist. Clip step k applies to every cell simultaneously
+    (vectorized Sutherland-Hodgman over a padded (L, V) polygon soup); the
+    arithmetic is the same IEEE-double expression sequence as
+    :meth:`VoronoiCell.add_point`, so results are bit-identical to the
+    per-cell loop — this is the membrane pipeline's per-lipid hot loop
+    batched over the lipid axis (the reference parallelizes exactly this
+    loop with rayon, molar_membrane/src/lib.rs:661-760).
+
+    Returns (verts (L, V, 2), edge_ids (L, V), counts (L,)).
+    """
+    L, P = pmask.shape
+    V = 4 + P + 1  # each cut adds at most one vertex net
+    verts = np.zeros((L, V, 2))
+    eids = np.full((L, V), 0, np.int64)
+    verts[:, 0] = (xmin, ymin)
+    verts[:, 1] = (xmax, ymin)
+    verts[:, 2] = (xmax, ymax)
+    verts[:, 3] = (xmin, ymax)
+    eids[:, :4] = (-1, -2, -3, -4)
+    counts = np.full(L, 4, np.int64)
+    rowsL = np.arange(L)
+
+    for k in range(P):
+        nx = 0.5 * points[:, k, 0]
+        ny = 0.5 * points[:, k, 1]
+        c = nx * nx + ny * ny
+        active = pmask[:, k] & (c >= TOL)
+        if not active.any():
+            continue
+        valid = np.arange(V)[None, :] < counts[:, None]  # (L, V)
+        d = nx[:, None] * verts[:, :, 0] + ny[:, None] * verts[:, :, 1] - c[:, None]
+        inside = d < TOL
+        ins_valid = inside & valid
+        all_in = (ins_valid == valid).all(axis=1)
+        all_out = ~ins_valid.any(axis=1)
+        change = active & ~all_in & ~all_out
+        if not change.any():
+            continue
+        # next valid index per slot: j = (i+1) % count
+        idx = np.arange(V)[None, :]
+        j = np.where(idx + 1 < counts[:, None], idx + 1, 0)
+        d_j = np.take_along_axis(d, j, axis=1)
+        in_b = d_j < TOL
+        crossing = valid & (inside != in_b)
+        emit_a = valid & inside
+        emit_x = crossing
+        # interpolated crossing points
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = d / (d - d_j)
+        ax, ay = verts[:, :, 0], verts[:, :, 1]
+        bx = np.take_along_axis(ax, j, axis=1)
+        by = np.take_along_axis(ay, j, axis=1)
+        ix = ax + t * (bx - ax)
+        iy = ay + t * (by - ay)
+        x_id = np.where(inside, ids[:, k][:, None], eids)
+        # interleaved emission order per i: [a_i, x_i]
+        emit = np.stack([emit_a, emit_x], axis=2).reshape(L, 2 * V)
+        pos = np.cumsum(emit, axis=1) - emit  # exclusive prefix = slot
+        new_counts = emit.sum(axis=1)
+        vx_s = np.stack([ax, ix], axis=2).reshape(L, 2 * V)
+        vy_s = np.stack([ay, iy], axis=2).reshape(L, 2 * V)
+        id_s = np.stack([eids, x_id], axis=2).reshape(L, 2 * V)
+        nverts = np.zeros((L, V, 2))
+        nids = np.zeros((L, V), np.int64)
+        li, si = np.nonzero(emit)
+        slot = pos[li, si]
+        keep = slot < V
+        li, si, slot = li[keep], si[keep], slot[keep]
+        nverts[li, slot, 0] = vx_s[li, si]
+        nverts[li, slot, 1] = vy_s[li, si]
+        nids[li, slot] = id_s[li, si]
+        verts = np.where(change[:, None, None], nverts, verts)
+        eids = np.where(change[:, None], nids, eids)
+        counts = np.where(change, np.minimum(new_counts, V), counts)
+    return verts, eids, counts
