@@ -135,7 +135,7 @@ def main() -> int:
                     "(half the bytes, bit-exact); or i8 frame-to-frame deltas "
                     "of those ints (roughly quarter the bytes, still "
                     "bit-exact; falls back to i16 when deltas exceed int8)")
-    ap.add_argument("--repeats", type=int, default=4,
+    ap.add_argument("--repeats", type=int, default=6,
                     help="timed passes over the trajectory; best fps "
                     "reported (the tunnel's transfer bandwidth swings "
                     "30 MB/s-1.3 GB/s minute to minute — more repeats "
