@@ -289,6 +289,9 @@ def main() -> int:
 
         mesh = frame_mesh(min(args.mesh, len(jax.devices())))
         runner = MeshWindowRunner(mesh)
+        if args.no_put:
+            print("# --no-put is ignored in mesh mode (sharded windows are "
+                  "always device_put with frame shardings)", file=sys.stderr)
         print(f"# mesh: {mesh.devices.size} device(s), frame-sharded windows",
               file=sys.stderr)
 

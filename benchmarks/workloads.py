@@ -267,7 +267,6 @@ def wl_sasa(system, xtc, window):
 
         return fn
 
-    window = min(window, 8)
     fns = {0: build_fn(0)}
     for tier in range(3):
         fn = fns.setdefault(tier, build_fn(tier))

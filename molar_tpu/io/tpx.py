@@ -318,6 +318,28 @@ def _read_header(x: Xdr) -> TpxHeader:
     )
 
 
+def _ftype_present(name: str, file_version: int) -> bool:
+    """Whether a function type exists in a file of this tpx version (the
+    on-disk enum skips types introduced later, shifting every subsequent
+    id). Gates shared by the ffparams id remap and the ilist walk."""
+    if name == "VSITE1":
+        return file_version >= 121  # tpxv_VSite1
+    if name == "VSITE2FD":
+        return file_version >= 114  # tpxv_VSite2FD
+    if name == "DENSITYFITTING":
+        return file_version >= 117
+    return True
+
+
+def _ftype_id_map(file_version: int) -> list:
+    """disk functype id -> FTYPES_2020 index for this file version."""
+    return [
+        i
+        for i, (name, _, _) in enumerate(FTYPES_2020)
+        if _ftype_present(name, file_version)
+    ]
+
+
 def _read_symtab(x: Xdr) -> list:
     n = x.i32()
     return [x.string64() for _ in range(n)]
@@ -343,7 +365,12 @@ def _read_ffparams(x: Xdr, file_version: int) -> list:
     ntypes = x.i32()
     if not (0 <= ntypes < 10_000_000):
         raise TpxError(f"implausible ffparams ntypes {ntypes}")
-    functype = [x.i32() for _ in range(ntypes)]
+    idmap = _ftype_id_map(file_version)
+    raw = [x.i32() for _ in range(ntypes)]
+    try:
+        functype = [idmap[ft] for ft in raw]
+    except IndexError:
+        raise TpxError(f"functype id out of range for tpx v{file_version}")
     x.f64()  # reppow (double regardless of precision)
     x.real()  # fudgeQQ
     for ft in functype:
@@ -381,11 +408,7 @@ def _read_ilists(x: Xdr, file_version: int) -> dict:
     out = {}
     for ftype in range(N_FTYPES):
         name = FTYPES_2020[ftype][0]
-        if name == "VSITE1" and file_version < 121:  # tpxv_VSite1
-            continue
-        if name == "VSITE2FD" and file_version < 114:  # tpxv_VSite2FD
-            continue
-        if name == "DENSITYFITTING" and file_version < 117:
+        if not _ftype_present(name, file_version):
             continue
         nr = x.i32()
         if not (0 <= nr < 100_000_000):
@@ -640,12 +663,20 @@ def read_cpt(path: str):
     sizes = {0: 4, 1: 4, 2: 8}
     box = coords = vels = None
     want = 3 * natoms
+    # Thermostat chains can legitimately exceed the coordinate bound on
+    # tiny systems; allow for them in the plausibility window.
+    bound = max(3 * natoms + 16, 2 * max(ngtc, 1) * max(nhchainlength, 1) + 16)
     for _ in range(4096):
         if x.o + 8 > len(x.d):
             break
         nval = x.i32()
         etype = x.i32()
-        if etype not in sizes or not (0 <= nval <= 3 * natoms + 16):
+        if etype not in sizes or not (0 <= nval <= bound):
+            if coords is not None:
+                # Past the state vectors (ekin/energy-history/file sections
+                # are not <count,type>-framed): a coordinates-only
+                # checkpoint (e.g. after energy minimization) ends here.
+                break
             raise TpxError(
                 f"unrecognized cpt entry (n={nval}, type={etype}) at "
                 f"{x.o - 8}"

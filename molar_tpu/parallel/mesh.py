@@ -89,10 +89,10 @@ def sharded_window_fn(
     )
 
 
-def pad_to_multiple(arrays, times, multiple: int):
-    """Pad the leading frame axis to a device-count multiple; returns
-    (padded arrays, valid mask). Padding repeats the last frame, and the
-    mask excludes it from reductions."""
+def pad_to_multiple(arrays, multiple: int):
+    """Pad every array's leading (frame) axis to a device-count multiple;
+    returns (padded arrays, valid mask). Padding repeats the last frame,
+    and the mask excludes it from reductions."""
     b = arrays[0].shape[0]
     rem = (-b) % multiple
     valid = np.ones(b + rem, dtype=bool)
@@ -167,7 +167,7 @@ class MeshWindowRunner:
             form = "f32"
         b = lead.shape[0]
         arrs = [lead, boxes] + ([] if invs is None else [invs]) + [times]
-        padded, _ = pad_to_multiple(tuple(arrs), None, self.n)
+        padded, _ = pad_to_multiple(tuple(arrs), self.n)
         lead_p, boxes_p, *rest = padded
         invs_p = rest[0] if invs is not None else None
         times_p = rest[-1]

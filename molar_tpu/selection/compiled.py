@@ -198,11 +198,40 @@ def compile_selection(
         aidx = jnp.arange(n)
         # Skewed boxes need the correction-candidate min-image path; the
         # shift fast path (corrections=None) assumes orthorhombic (see
-        # within_mask contract notes). Box kind is fixed at compile time:
-        # per-frame boxes may rescale (NPT) but not change skew class.
-        corr = None
-        if p.pbc.any and state.box is not None and state.box.corrections.shape[0]:
-            corr = jnp.asarray(state.box.padded_corrections())
+        # within_mask contract notes). The skew CLASS is decided at compile
+        # time, but the candidate VECTORS are computed per frame from that
+        # frame's box (all 26 ±1-lattice combinations, unpruned — the
+        # host's pruning is only an optimization; zero rows are no-ops), so
+        # NPT box rescaling stays exact.
+        tric = bool(
+            p.pbc.any
+            and state.box is not None
+            and state.box.corrections.shape[0]
+        )
+        ijk = None
+        if tric:
+            ijk = jnp.asarray(
+                np.array(
+                    [
+                        (i_, j_, k_)
+                        for i_ in (-1, 0, 1)
+                        for j_ in (-1, 0, 1)
+                        for k_ in (-1, 0, 1)
+                        if (i_, j_, k_) != (0, 0, 0)
+                    ],
+                    dtype=np.float32,
+                )
+            )
+
+        def frame_corr(b):
+            if not tric:
+                return None
+            # candidate = i*col0 + j*col1 + k*col2, elementwise (no MXU).
+            return (
+                ijk[:, 0:1] * b[:, 0][None, :]
+                + ijk[:, 1:2] * b[:, 1][None, :]
+                + ijk[:, 2:3] * b[:, 2][None, :]
+            )
         cap = params["cap"] or auto_cap(dims, np.arange(n))
         if not is_point:
             tcap = params["tgt_cap"] or auto_cap(dims, np.asarray(target))
@@ -217,8 +246,8 @@ def compile_selection(
                 allc = jnp.concatenate([c, tgt])
                 mask, _ = neighbor.within_mask(
                     allc, aidx, jnp.asarray([n]), cutoff=p.cutoff,
-                    box=b, inv=i, corrections=corr, dims=dims, cap=cap,
-                    tgt_cap=8, pbc=pbc,
+                    box=b, inv=i, corrections=frame_corr(b), dims=dims,
+                    cap=cap, tgt_cap=8, pbc=pbc,
                 )
                 return mask
             return f
@@ -228,7 +257,7 @@ def compile_selection(
         def f(c, b, i):
             mask, _ = neighbor.within_mask(
                 c, aidx, tidx, cutoff=p.cutoff, box=b, inv=i,
-                corrections=corr, dims=dims, cap=cap, tgt_cap=tcap,
+                corrections=frame_corr(b), dims=dims, cap=cap, tgt_cap=tcap,
                 max_tgt_cells=mtc, pbc=pbc,
             )
             if include:

@@ -65,3 +65,50 @@ def test_unsupported_raises(protein):
     expr = SelectionExpr("within 0.5 pbc of x < 4")
     with pytest.raises(CompileUnsupported):
         expr.compile_device(protein.topology, protein.state)
+
+
+def test_triclinic_npt_rescaled_frames():
+    """Correction candidates must follow the per-frame box: a compiled
+    'within pbc' selection evaluated on an NPT-rescaled triclinic frame has
+    to match the host evaluator for THAT frame, not the compile-time box."""
+    import jax.numpy as jnp
+
+    from molar_tpu.core.pbc import PeriodicBox
+    from molar_tpu.core.state import State
+    from molar_tpu.selection.compiled import compile_selection
+    from molar_tpu.selection.parser import parse
+    from molar_tpu.core.system import System
+    from molar_tpu.core.topology import Topology
+    from molar_tpu.core.atom import Atom
+
+    rng = np.random.default_rng(13)
+    n = 240
+    box0 = PeriodicBox.from_vectors_angles(3.0, 3.1, 3.2, 75.0, 82.0, 70.0)
+    coords = (rng.uniform(0, 1, (n, 3)) @ box0.matrix.T).astype(np.float32)
+    atoms = [Atom(name="C", resname="X", resid=i + 1) for i in range(n)]
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    sysr = System(top, State(coords=coords.copy(), box=box0))
+    sel = "within 0.55 pbc of index 0:19"
+    cs = compile_selection(parse(sel), sysr.topology, sysr.state)
+
+    # NPT step: shrink the box 5%, rescale coordinates affinely.
+    m1 = (box0.matrix * 0.95).astype(np.float32)
+    box1 = PeriodicBox(m1)
+    coords1 = (coords * 0.95).astype(np.float32)
+    got = np.nonzero(
+        np.asarray(
+            cs(
+                jnp.asarray(coords1),
+                jnp.asarray(box1.matrix),
+                jnp.asarray(box1.inv),
+            )
+        )
+    )[0]
+    from molar_tpu.ops import neighbor_host
+    from molar_tpu.core.pbc import PBC_FULL
+
+    want = neighbor_host.search_within(
+        0.55, coords1, np.arange(n), np.arange(20), box1, PBC_FULL
+    )
+    np.testing.assert_array_equal(got, want)

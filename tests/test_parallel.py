@@ -47,11 +47,11 @@ def test_sharded_fit_rmsd_matches_single_device(mesh):
 
 def test_pad_to_multiple():
     a = np.arange(10 * 3).reshape(10, 3).astype(np.float32)
-    (a2,), valid = pad_to_multiple((a,), None, 8)
+    (a2,), valid = pad_to_multiple((a,), 8)
     assert a2.shape[0] == 16
     assert valid.sum() == 10
     np.testing.assert_array_equal(a2[10:], np.repeat(a[-1:], 6, axis=0))
-    (a3,), valid3 = pad_to_multiple((a[:8],), None, 8)
+    (a3,), valid3 = pad_to_multiple((a[:8],), 8)
     assert a3.shape[0] == 8 and valid3.all()
 
 
