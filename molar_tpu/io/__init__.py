@@ -3,8 +3,11 @@
 Mirrors the reference ``FileHandler`` (molar/src/io.rs:279-782): one entry
 point that opens any supported format by extension (with the reference's alias
 table: pdb|ent, sdf|sd|mol, nc|ncdf — io.rs:339-377), reads topology/state/
-both, writes, seeks, and iterates over trajectory frames. The background
-prefetch queue lives in :mod:`molar_tpu.io.prefetch`.
+both, writes, seeks, and iterates over trajectory frames. Iteration
+prefetches: a reader thread decodes ahead of the consumer through a bounded
+queue (mirroring the reference's ``IoStateIterator``, io.rs:198-271); the
+windowed/batched prefetch pipeline lives in
+:mod:`molar_tpu.tasks.trajectory` (``WindowPipeline``).
 """
 
 from __future__ import annotations
@@ -268,7 +271,61 @@ class FileHandler:
     def __iter__(self) -> Iterator[State]:
         return self.iter_states()
 
-    def iter_states(self) -> Iterator[State]:
+    def iter_states(self, prefetch: int = 10) -> Iterator[State]:
+        """Iterate frames, decoding ahead of the consumer.
+
+        With ``prefetch > 0`` (default) a reader thread decodes up to that
+        many frames ahead through a bounded queue — the reference's
+        ``IoStateIterator`` shape (io.rs:198-271: reader thread +
+        ``sync_channel(10)``), so per-frame analysis overlaps with decode
+        when the consumer blocks off-CPU (device dispatch, downstream IO).
+        ``prefetch=0`` reads synchronously. While an iterator is live it
+        owns the handler's read cursor — interleaving ``seek_*``/
+        ``read_state`` calls with iteration is undefined, as in the
+        reference.
+        """
+        if prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+        _END = object()
+
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        def feeder() -> None:
+            try:
+                for st in self._iter_sync():
+                    if not put_or_stop(st):
+                        return
+                put_or_stop(_END)
+            except BaseException as e:  # propagate to the consumer
+                put_or_stop(e)
+
+        t = threading.Thread(target=feeder, daemon=True, name="molar-io-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _iter_sync(self) -> Iterator[State]:
         while True:
             try:
                 st = self.read_state()

@@ -13,11 +13,16 @@ from the bonded/constraint interaction lists (F_BONDS, F_G96BONDS,
 F_HARMONIC, F_FENEBONDS, F_CUBICBONDS, F_CONSTR, F_CONSTRNC, SETTLE as two
 O-H bonds), plus box / coordinates / velocities.
 
-Scope: tpx fileVersion >= 103 (GROMACS 2020+) through the 2023-era layout,
-single- and double-precision files. Older versions fall back to the plugin
-path (or raise). The interaction-function table below must cover every
-function type that appears in the file's ``functype[]``; unknown types
-raise with the offending id rather than silently misaligning the stream.
+Scope: tpx fileVersion >= 119 (tpxv_AddSizeField era — first written by
+GROMACS 2020; the committed fixture is v122) through the 2023-era layout,
+single- and double-precision files. The floor is the *verified* range: body
+strings below v119 use a different (32-bit-length) serialization and the
+pre-119 enum layouts are unimplemented, so older files raise a TpxError
+naming the version and the supported range instead of risking a silent
+misparse; they fall back to the plugin path. The interaction-function table
+below must cover every function type that appears in the file's
+``functype[]``; unknown types raise with the offending id rather than
+silently misaligning the stream.
 
 Format references: GROMACS public sources (src/gromacs/fileio/tpxio.cpp,
 src/gromacs/topology/idef.h), re-derived; no GROMACS code is copied.
@@ -34,6 +39,14 @@ import numpy as np
 
 class TpxError(RuntimeError):
     pass
+
+
+# Oldest tpx fileVersion the native decoder accepts. v119 introduced the
+# body-size field (tpxv_AddSizeField) and is the first version whose body
+# strings use the 64-bit-length InMemorySerializer form this decoder
+# implements; it is what GROMACS 2020 writes. Older files raise a TpxError
+# pointing at the plugin path rather than risking a misaligned parse.
+MIN_TPX_VERSION = 119
 
 
 class Xdr:
@@ -284,10 +297,18 @@ def _read_header(x: Xdr) -> TpxHeader:
         raise TpxError(f"bad tpx precision {precision}")
     x.precision = precision
     file_version = x.i32()
-    if file_version < 103:
+    if file_version < MIN_TPX_VERSION:
+        # The floor is the empirically-verified serialization era: body
+        # strings here use the 64-bit-length form introduced alongside
+        # tpxv_AddSizeField (v119, first written by GROMACS 2020); older
+        # files use 32-bit string headers and pre-119 enum layouts that
+        # this decoder does not implement — accepting them would risk a
+        # silently misaligned parse rather than this loud error.
         raise TpxError(
-            f"tpx fileVersion {file_version} < 103 (GROMACS 2020) is not "
-            "supported by the native reader; use the GROMACS plugin path"
+            f"tpx fileVersion {file_version} is older than the supported "
+            f"range (>= {MIN_TPX_VERSION}, i.e. files written by GROMACS "
+            "2020 or later); re-write the file with a modern `gmx convert-tpr`"
+            " or use the GROMACS plugin path (molar_tpu.io.tpr)"
         )
     file_generation = x.i32()
     x.string()  # file tag ("release")
@@ -323,11 +344,13 @@ def _ftype_present(name: str, file_version: int) -> bool:
     on-disk enum skips types introduced later, shifting every subsequent
     id). Gates shared by the ffparams id remap and the ilist walk."""
     if name == "VSITE1":
-        return file_version >= 121  # tpxv_VSite1
+        return file_version >= 121  # tpxv_VSite1 (the only gate that can
+        # fire inside the accepted >= MIN_TPX_VERSION range)
     if name == "VSITE2FD":
-        return file_version >= 114  # tpxv_VSite2FD
+        return file_version >= 114  # tpxv_VSite2FD (always true at >= 119;
+        # kept so the table documents the public tpxio.cpp constant)
     if name == "DENSITYFITTING":
-        return file_version >= 117
+        return file_version >= 117  # likewise always true at >= 119
     return True
 
 
@@ -350,14 +373,14 @@ def _read_iparams(x: Xdr, ftype: int, file_version: int) -> None:
         raise TpxError(f"function type {ftype} out of table range")
     name, _, layout = FTYPES_2020[ftype]
     if name in ("GB12", "GB13", "GB14", "GBPOL", "NPSOLVATION"):
-        raise TpxError(f"obsolete GB function type {name} in a v103+ file")
+        raise TpxError(
+            f"obsolete GB function type {name} in a v{file_version} file"
+        )
     for ch in layout:
         if ch == "r":
             x.real()
         else:
             x.i32()
-    if name == "DISRES" and file_version < 0:
-        pass  # placeholder for older-version deltas (not reached at >=103)
 
 
 def _read_ffparams(x: Xdr, file_version: int) -> list:

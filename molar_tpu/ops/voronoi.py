@@ -151,13 +151,17 @@ def voronoi_cells_batch(points, ids, pmask, xmin, xmax, ymin, ymax):
         emit_a = valid & inside
         emit_x = crossing
         # interpolated crossing points
-        with np.errstate(invalid="ignore", divide="ignore"):
-            t = d / (d - d_j)
         ax, ay = verts[:, :, 0], verts[:, :, 1]
         bx = np.take_along_axis(ax, j, axis=1)
         by = np.take_along_axis(ay, j, axis=1)
-        ix = ax + t * (bx - ax)
-        iy = ay + t * (by - ay)
+        # Non-crossing slots produce inf/nan t that the interpolation also
+        # consumes (those slots are never emitted, but the multiplies would
+        # leak RuntimeWarnings to every caller) — keep the whole chain under
+        # the errstate guard.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = d / (d - d_j)
+            ix = ax + t * (bx - ax)
+            iy = ay + t * (by - ay)
         x_id = np.where(inside, ids[:, k][:, None], eids)
         # interleaved emission order per i: [a_i, x_i]
         emit = np.stack([emit_a, emit_x], axis=2).reshape(L, 2 * V)

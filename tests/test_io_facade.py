@@ -86,3 +86,48 @@ def test_corrupt_tail_warns_not_raises(tmp_path, caplog):
         frames = list(fh.iter_states())
     assert len(frames) == 1
     assert any("terminated early" in r.message for r in caplog.records)
+
+def test_iter_states_prefetch_matches_sync(multi_gro):
+    # The prefetching reader thread (io.rs:198-271 IoStateIterator analog)
+    # must yield the identical frame sequence as the synchronous path.
+    with FileHandler(multi_gro) as fh:
+        sync = [(s.time, s.coords.copy()) for s in fh.iter_states(prefetch=0)]
+    with FileHandler(multi_gro) as fh:
+        pre = [(s.time, s.coords.copy()) for s in fh.iter_states(prefetch=3)]
+    assert len(sync) == len(pre) == 5
+    for (ts, cs), (tp, cp) in zip(sync, pre):
+        assert ts == tp
+        np.testing.assert_array_equal(cs, cp)
+
+
+def test_iter_states_prefetch_abandoned_generator(multi_gro):
+    # Breaking out of iteration early must not hang or error: the feeder
+    # thread is signalled to stop when the generator is finalized.
+    with FileHandler(multi_gro) as fh:
+        for k, st in enumerate(fh.iter_states()):
+            if k == 1:
+                break
+    # a second independent iteration still works
+    with FileHandler(multi_gro) as fh:
+        assert sum(1 for _ in fh.iter_states()) == 5
+
+
+def test_iter_states_prefetch_corrupt_tail(tmp_path, caplog):
+    # The corrupt-tail warn-and-stop contract survives the reader thread.
+    lines = []
+    for k in range(2):
+        lines.append(f"frame t= {float(k):.3f}")
+        lines.append(" 2")
+        for i in range(2):
+            lines.append(
+                f"{1:5d}{'SOL':<5}{'OW':>5}{i + 1:5d}{1.0:8.3f}{1.0:8.3f}{1.0:8.3f}"
+            )
+        lines.append("   4.00000   4.00000   4.00000")
+    text = "\n".join(lines) + "\n"
+    bad = tmp_path / "bad2.gro"
+    bad.write_text(text[: len(text) - 40])
+    fh = FileHandler(str(bad))
+    with caplog.at_level(logging.WARNING):
+        frames = list(fh.iter_states(prefetch=4))
+    assert len(frames) == 1
+    assert any("terminated early" in r.message for r in caplog.records)

@@ -147,3 +147,27 @@ def test_native_cpt_real_file(ref_data):
     assert st.velocities is not None
     # thermal velocity scale (nm/ps), not garbage
     assert 0.1 < float(np.abs(st.velocities).mean()) < 2.0
+
+
+def test_tpx_version_floor_names_range(tmp_path):
+    # A pre-v119 tpx header must raise loudly, naming the version and the
+    # supported range (never risk a silently misaligned body parse).
+    import struct
+
+    from molar_tpu.io.tpx import MIN_TPX_VERSION, TpxError, read_tpx
+
+    def xdr_string(s: bytes) -> bytes:
+        return (
+            struct.pack(">i", len(s) + 1)
+            + struct.pack(">i", len(s))
+            + s
+            + b"\x00" * ((4 - len(s) % 4) % 4)
+        )
+
+    hdr = xdr_string(b"VERSION 2019.6") + struct.pack(">ii", 4, 110)
+    p = tmp_path / "old.tpr"
+    p.write_bytes(hdr + b"\x00" * 64)
+    with pytest.raises(TpxError) as ei:
+        read_tpx(str(p))
+    msg = str(ei.value)
+    assert "110" in msg and str(MIN_TPX_VERSION) in msg

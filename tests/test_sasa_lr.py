@@ -184,3 +184,24 @@ def test_sasa_series_device_mode_matches_host_mode():
         a = np.asarray(host.update(c))
         b = np.asarray(dev.update(c))
         np.testing.assert_allclose(b, a, atol=2e-5)
+
+def test_sasa_series_box_selects_device_mode():
+    # box= with an orthorhombic box derives extents -> device mode engages
+    # by default; triclinic falls back to host-Verlet mode.
+    from molar_tpu.core.pbc import PeriodicBox
+    from molar_tpu.ops import sasa_lr
+
+    rng = np.random.default_rng(32)
+    n = 64
+    base = rng.uniform(0.8, 3.2, (n, 3))
+    vdw = rng.uniform(0.11, 0.21, n)
+    box = PeriodicBox(np.diag([4.0, 4.0, 4.0]).astype(np.float32))
+    dev = sasa_lr.SasaSeries(base, vdw, n_slices=32, box=box)
+    assert dev.extents is not None
+    ref = sasa_lr.SasaSeries(base, vdw, n_slices=32, extents=(4.0, 4.0, 4.0))
+    np.testing.assert_allclose(
+        np.asarray(dev.update(base)), np.asarray(ref.update(base)), atol=1e-6
+    )
+    tri = np.array([[4.0, 0.5, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]], np.float32)
+    host = sasa_lr.SasaSeries(base, vdw, n_slices=32, box=tri)
+    assert host.extents is None
