@@ -279,10 +279,31 @@ struct I16Store {
   bool tiny(Cursor&, int) { return false; }  // no ints exist; caller falls back
 };
 
+// Core frame decoder.
+//
+// `sticky_runs` selects between the two run-flag dialects in the wild:
+//   * false — canonical xdrfile/GROMACS 3dfcoord: `flag == 0` means "no
+//     run for this record".
+//   * true — the dialect written by molly (the Rust XTC codec the
+//     reference links for both reading and writing,
+//     molar/src/io/xtc_handler.rs:1-40): `flag == 0` means "repeat the
+//     PREVIOUS record's run length" (a 1-bit shorthand for the common
+//     same-length-run case; smallidx is unchanged). Reverse-engineered
+//     bit-exactly from the reference fixture tests/new.xtc, whose 4295
+//     atoms decode exactly to tests/protein.pdb under this rule and
+//     derail under the canonical one.
+//
+// The two dialects share every other rule, and each one misparses the
+// other's streams — so the caller decodes canonically first and retries
+// sticky if validation fails (see xtc_decode_frame_buf). Validation is
+// strict: every absolute coordinate must lie in the header's
+// [minint, maxint] envelope (true of any correctly-decoded stream, since
+// the writer derives the envelope from the full frame), the atom count
+// must land exactly on lsize, and the bit cursor must stay in bounds.
 template <class Store>
 static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
                            float* box9, int32_t* step, float* time,
-                           float* precision_out) {
+                           float* precision_out, bool sticky_runs) {
   Cursor c{buf, (size_t)buflen};
   int32_t magic = c.i32();
   if (!c.ok || magic != XTC_MAGIC) return -1;
@@ -331,9 +352,20 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
 
   BitReader br{buf + c.off, (size_t)((nbytes + 3) / 4) * 4};
 
+  // Envelope validation (coords within [minint, maxint]) — accumulated
+  // branch-free; checked once at the end.
+  int env_lo[3] = {minint[0], minint[1], minint[2]};
+  int env_hi[3] = {maxint[0], maxint[1], maxint[2]};
+  int env_ok = 1;
+#define MOLAR_ENV_CHECK(coord3)                                   \
+  env_ok &= ((coord3)[0] >= env_lo[0]) & ((coord3)[0] <= env_hi[0]) & \
+            ((coord3)[1] >= env_lo[1]) & ((coord3)[1] <= env_hi[1]) & \
+            ((coord3)[2] >= env_lo[2]) & ((coord3)[2] <= env_hi[2])
+
   int thiscoord[3], prevcoord[3] = {0, 0, 0};
   int i = 0;
   int run = 0;
+  int prev_run = 0;
   while (i < lsize) {
     if (bitsize == 0) {
       thiscoord[0] = br.decodebits(bitsizeint[0]);
@@ -346,6 +378,7 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
     thiscoord[0] += minint[0];
     thiscoord[1] += minint[1];
     thiscoord[2] += minint[2];
+    MOLAR_ENV_CHECK(thiscoord);
     prevcoord[0] = thiscoord[0];
     prevcoord[1] = thiscoord[1];
     prevcoord[2] = thiscoord[2];
@@ -357,18 +390,25 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
       is_smaller = run % 3;
       run -= is_smaller;
       is_smaller--;
+    } else if (sticky_runs) {
+      run = prev_run;  // molly dialect: 0-flag repeats the last run length
     }
     if (!br.ok) return -1;
+    prev_run = run;
     if (run > 0) {
       // A run at a degenerate small size would divide by zero; files only
       // reach sizesmall==0 on atoms with no runs, so check lazily here.
       if (sizesmall[0] == 0) return -1;
+      // The run writes run/3 extra atoms; reject streams that would
+      // overshoot the output buffer (corrupt or mis-dialected input).
+      if (i + run / 3 > lsize) return -1;
       for (int k = 0; k < run; k += 3) {
         br.decodeints(smallidx, sizesmall, thiscoord);
         i++;
         thiscoord[0] += prevcoord[0] - smallnum;
         thiscoord[1] += prevcoord[1] - smallnum;
         thiscoord[2] += prevcoord[2] - smallnum;
+        MOLAR_ENV_CHECK(thiscoord);
         if (k == 0) {
           // Interchange first with second atom (water-molecule optimization
           // in the original compressor).
@@ -399,6 +439,9 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
     sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
     if (!br.ok) return -1;
   }
+#undef MOLAR_ENV_CHECK
+  if (!env_ok || i != lsize) return -3;  // decoded, but fails validation:
+                                         // caller retries the other dialect
   return st.ok ? natoms : -2;
 }
 
@@ -442,22 +485,43 @@ int xtc_parse_header(const uint8_t* buf, long buflen, int32_t* natoms,
 
 // Decode one complete frame held in `buf`. coords: natoms*3 floats out.
 // Returns number of atoms decoded, or -1 on error. Thread-safe.
+//
+// Tries the canonical GROMACS run-flag dialect first; if the stream fails
+// strict validation (coordinate outside the header envelope, run overshoot,
+// bit-cursor overrun), re-decodes under the molly sticky-run dialect (see
+// xtc_decode_core) — files written by the reference's Rust codec only parse
+// under the latter.
 int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
                          float* box9, int32_t* step, float* time,
                          float* precision_out) {
   FloatStore st{coords};
-  return xtc_decode_core(buf, buflen, st, box9, step, time, precision_out);
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
+                          /*sticky_runs=*/false);
+  if (n < 0) {
+    FloatStore st2{coords};
+    n = xtc_decode_core(buf, buflen, st2, box9, step, time, precision_out,
+                        /*sticky_runs=*/true);
+  }
+  return n < 0 ? -1 : n;
 }
 
 // Decode one frame to the raw quantized int coordinates as int16 (natoms*3).
 // Returns natoms, -1 on stream error, -2 if a coordinate exceeds int16 range
 // or the frame is a tiny uncompressed one (no quantized ints exist) — the
-// caller falls back to the float decoder.
+// caller falls back to the float decoder. Same dialect retry as the float
+// entry point.
 int xtc_decode_frame_buf_i16(const uint8_t* buf, long buflen, int16_t* coords,
                              float* box9, int32_t* step, float* time,
                              float* precision_out) {
   I16Store st{coords};
-  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out);
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
+                          /*sticky_runs=*/false);
+  if (n == -1 || n == -3) {
+    I16Store st2{coords};
+    n = xtc_decode_core(buf, buflen, st2, box9, step, time, precision_out,
+                        /*sticky_runs=*/true);
+  }
+  if (n == -3) n = -1;
   if (n >= 0 && (precision_out && *precision_out == 0.0f)) return -2;
   return n;
 }

@@ -157,3 +157,61 @@ def test_iter_windows_quantized(tmp_path, ref_data):
         ic, scale = cq
         np.testing.assert_array_equal(ic.astype(np.float32) * scale, c)
         np.testing.assert_array_equal(ids, idsq)
+
+
+def test_sticky_run_dialect_new_xtc(ref_data):
+    """Files written by the reference's Rust XTC codec (molly) use a
+    non-canonical run-flag shorthand: flag==0 after a large coordinate
+    repeats the PREVIOUS record's run length (canonical xdrfile means "no
+    run"). tests/new.xtc is such a file, and its coordinates are exactly
+    tests/protein.pdb's — decode must fall back to the sticky dialect and
+    reproduce them bit-exactly (xtc_codec.cpp xtc_decode_core)."""
+    import numpy as np
+
+    from molar_tpu.io.xtc import XtcHandler
+
+    path = ref_data / "new.xtc"
+    if not path.exists():
+        pytest.skip("new.xtc not in reference snapshot")
+    gt = []
+    for line in open(ref_data / "protein.pdb"):
+        if line.startswith(("ATOM", "HETATM")):
+            gt.append(
+                [
+                    round(float(line[30:38]) * 100),
+                    round(float(line[38:46]) * 100),
+                    round(float(line[46:54]) * 100),
+                ]
+            )
+    gt = np.array(gt, np.int64)
+    h = XtcHandler(str(path))
+    assert h.n_frames == 10 and h.n_atoms == len(gt)
+    for k in (0, 9):
+        ints = np.round(h.read_frame(k).coords * 1000).astype(np.int64)
+        np.testing.assert_array_equal(ints, gt)
+    # the i16 (quantized transport) path must agree exactly too
+    ic, scale, boxes, times = h.read_frames_i16(0, 10)
+    np.testing.assert_array_equal(ic[4].astype(np.int64), gt)
+    h.close()
+
+
+def test_canonical_decode_still_exact_after_dialect_fallback(tmp_path):
+    """The canonical-first decode with sticky retry must not perturb
+    normally-written files (our own canonical writer round-trips)."""
+    import numpy as np
+
+    from molar_tpu.io.xtc import XtcHandler
+
+    rng = np.random.default_rng(7)
+    c = rng.uniform(0, 5, (500, 3)).astype(np.float32)
+    box = np.diag([5.0, 5.0, 5.0]).astype(np.float32)
+    p = tmp_path / "t.xtc"
+    w = XtcHandler(str(p), "w")
+    for k in range(3):
+        w.write_raw(c + 0.01 * k, box, step=k, time=float(k))
+    w.close()
+    h = XtcHandler(str(p))
+    got = h.read_frame(2).coords
+    want = np.round((c + 0.02) * 1000) / 1000
+    np.testing.assert_allclose(got, want, atol=5e-7)
+    h.close()
