@@ -394,6 +394,92 @@ tails = ["C1-C2-C3-C4"]
     return n_frames, time.perf_counter() - t0
 
 
+def _write_native_meta(system, path):
+    """Sidecar consumed by benchmarks/native_workloads.cpp: the exact same
+    selections/masses/radii/segments the device workloads use, so the
+    single-core native denominator measures the identical problem."""
+    import struct
+
+    ca = system("name CA")
+    sel = system("resname ALA")
+    lig = system("name OW")
+    lig_idx = lig.indices[:50]
+    seg = sel.segment_ids()
+    radii = sel.topology.vdw()[sel.indices].astype(np.float32) + 0.14
+    box = np.diag(np.asarray(system.state.box.matrix)).astype(np.float32)
+    with open(path, "wb") as f:
+        def i32(v):
+            f.write(struct.pack("<i", int(v)))
+
+        def arr(a, dt):
+            f.write(np.ascontiguousarray(a, dt).tobytes())
+
+        i32(0x4D4F4C41)
+        i32(system.n_atoms)
+        i32(len(ca))
+        arr(ca.indices, np.int32)
+        arr(ca.coords, np.float32)
+        arr(ca.masses, np.float32)
+        i32(len(sel))
+        arr(sel.indices, np.int32)
+        arr(seg, np.int32)
+        i32(int(seg[-1]) + 1)
+        arr(sel.masses, np.float32)
+        arr(radii, np.float32)
+        i32(len(lig_idx))
+        arr(lig_idx, np.int32)
+        arr(box, np.float32)
+        arr(np.float32(0.4), np.float32)
+        i32(32)
+
+
+def _native_exe():
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native_workloads.cpp")
+    codec = os.path.join(here, "..", "molar_tpu", "native", "xtc_codec.cpp")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "molar_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    exe = os.path.join(cache, "native_workloads")
+    if (
+        not os.path.exists(exe)
+        or os.path.getmtime(exe) < os.path.getmtime(src)
+        or os.path.getmtime(exe) < os.path.getmtime(codec)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", src, codec, "-o", exe],
+            check=True, capture_output=True,
+        )
+    return exe
+
+
+def run_native(system, xtc, which="all"):
+    """Single-core native denominators (run strictly AFTER device timing —
+    one host core, CLAUDE.md contention rule). Returns {workload: fps}."""
+    import subprocess
+
+    exe = _native_exe()
+    if exe is None:
+        return {}
+    meta = xtc + ".meta"
+    if not os.path.exists(meta):
+        _write_native_meta(system, meta)
+    cmd = [exe, which, xtc, meta]
+    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    res = {}
+    for line in out.stdout.splitlines():
+        r = json.loads(line)
+        res[r["workload"]] = r
+    return res
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--files", nargs=2, metavar=("STRUCTURE", "XTC"))
@@ -411,6 +497,10 @@ def main() -> int:
                     help="shard each window's frame axis over N devices "
                     "(ca_rmsd/com_splits/contacts stream sharded; membrane "
                     "runs N replicas merged via merge_stats_from)")
+    ap.add_argument("--no-native", action="store_true", dest="no_native",
+                    help="skip the single-core native denominators "
+                    "(benchmarks/native_workloads.cpp; they run strictly "
+                    "after the device loop on the one host core)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -453,6 +543,32 @@ def main() -> int:
         out[name] = {"frames": n, "sec": round(el, 3),
                      "fps": round(n / el, 2) if el > 0 else None}
         print(json.dumps({name: out[name]}), flush=True)
+
+    # Native single-core denominators, strictly after all device work.
+    if not args.no_native and not args.files:
+        native_map = {"ca_rmsd": "ca_rmsd", "com_splits": "com_gyr",
+                      "contacts": "contacts", "sasa": "sasa",
+                      "trjconv": "trjconv"}
+        which = native_map.get(args.which, "all")
+        try:
+            nat = run_native(system, xtc, which)
+        except Exception as e:  # denominator failure must not kill the run
+            print(f"# native denominators failed: {e}", file=sys.stderr)
+            nat = {}
+        for dev_name, nat_name in native_map.items():
+            if nat_name in nat and dev_name in out:
+                r = nat[nat_name]
+                out[dev_name]["native_fps"] = round(r["fps"], 2)
+                dev_fps = out[dev_name]["fps"]
+                out[dev_name]["vs_native"] = (
+                    round(dev_fps / r["fps"], 2) if dev_fps else None
+                )
+        if nat:
+            print(json.dumps({"native_1core": {
+                k: round(v["fps"], 2) for k, v in nat.items()}}), flush=True)
+            print(json.dumps({"vs_native": {
+                k: v["vs_native"] for k, v in out.items()
+                if v.get("vs_native") is not None}}), flush=True)
     return 0
 
 
