@@ -75,13 +75,17 @@ def _write_xtc(system, path, n_frames, sigma=0.01, seed=1):
     w.close()
 
 
-def _windows(xtc, window):
+def _windows(xtc, window, subset=None):
     from molar_tpu.tasks.trajectory import TrajectoryReader
 
     # i8-delta transport: ~quarter the H2D bytes, bit-exact reconstruction
     # on device (the tunnel's transfer bandwidth is the workload wall at
-    # bad weather — docs/perf_notes.md round-3 decomposition).
-    return TrajectoryReader([xtc]).iter_windows(window, quantized="delta")
+    # bad weather — docs/perf_notes.md round-3 decomposition). Selection
+    # workloads additionally ship only their subset's rows (another
+    # n_atoms/len(subset) wire cut; bit-identical results).
+    return TrajectoryReader([xtc]).iter_windows(
+        window, quantized="delta", subset=subset
+    )
 
 
 def decode_window_coords(coords):
@@ -90,7 +94,7 @@ def decode_window_coords(coords):
     return _d(coords)
 
 
-def _timed_stream(fn, xtc, window, runner=None):
+def _timed_stream(fn, xtc, window, runner=None, subset=None):
     """Warm up (compile) every distinct window shape, then time a full pass.
 
     The axon compile service takes 3-15 min per new HLO and its persistent
@@ -110,7 +114,7 @@ def _timed_stream(fn, xtc, window, runner=None):
         return fn(jax.device_put(coords), boxes, invs, times)
 
     warmed = set()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
+    for coords, boxes, invs, times, ids in _windows(xtc, window, subset):
         b = len(ids)
         if b not in warmed:
             warmed.add(b)
@@ -118,7 +122,7 @@ def _timed_stream(fn, xtc, window, runner=None):
     n = 0
     outs = []
     t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window):
+    for coords, boxes, invs, times, ids in _windows(xtc, window, subset):
         outs.append(call(coords, boxes, invs, times))
         n += len(ids)
     jax.block_until_ready(outs)
@@ -132,20 +136,20 @@ def wl_ca_rmsd(system, xtc, window, runner=None):
     from molar_tpu.ops import measure
 
     sel = system("name CA")
-    idx = jnp.asarray(sel.indices)
     ref = jnp.asarray(sel.coords)
     masses = jnp.asarray(sel.masses)
 
+    # Windows ship only the CA rows (subset transport): the gather moves to
+    # the host slice, the wire shrinks by n_atoms/n_ca, results unchanged.
     @jax.jit
     def fn(coords, boxes, invs, times):
         coords = decode_window_coords(coords)
-        def per_frame(carry, c):
-            s = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
+        def per_frame(carry, s):
             rmsd, _r, _s = measure.fit_rmsd(s, ref, masses)
             return carry, rmsd
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window, runner)
+    return _timed_stream(fn, xtc, window, runner, subset=sel.indices)
 
 
 def wl_com_splits(system, xtc, window, runner=None):
@@ -155,7 +159,6 @@ def wl_com_splits(system, xtc, window, runner=None):
     sel = system("resname ALA")
     seg = jnp.asarray(sel.segment_ids())
     nseg = int(seg[-1]) + 1
-    idx = jnp.asarray(sel.indices)
     masses = jnp.asarray(sel.masses)
     box = jnp.asarray(system.state.box.matrix)
 
@@ -163,11 +166,11 @@ def wl_com_splits(system, xtc, window, runner=None):
     # not hoist loop-invariant segment reductions out of while loops).
     msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
 
+    # Subset transport: windows carry only the selection's rows.
     @jax.jit
     def fn(coords, boxes, invs, times):
         coords = decode_window_coords(coords)
-        def per_frame(carry, c):
-            x = jnp.stack([c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1)
+        def per_frame(carry, x):
             com = (
                 jax.ops.segment_sum(x * masses[:, None], seg, num_segments=nseg)
                 / msum[:, None]
@@ -179,7 +182,7 @@ def wl_com_splits(system, xtc, window, runner=None):
             return carry, (com, jnp.sqrt(g2))
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window, runner)
+    return _timed_stream(fn, xtc, window, runner, subset=sel.indices)
 
 
 def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
@@ -188,8 +191,13 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
 
     from molar_tpu.ops import neighbor
 
-    prot = jnp.asarray(system("resname ALA").indices)
-    lig = jnp.asarray(system("name OW").indices[:50])  # stand-in ligand
+    prot_g = system("resname ALA").indices
+    lig_g = system("name OW").indices[:50]  # stand-in ligand
+    # Subset transport: ship only prot+lig rows; the search uses local
+    # row numbers within the subset (same coordinates, same pairs).
+    subset = np.concatenate([prot_g, lig_g])
+    prot = jnp.arange(len(prot_g))
+    lig = len(prot_g) + jnp.arange(len(lig_g))
     box = jnp.asarray(system.state.box.matrix)
     inv = jnp.asarray(system.state.box.inv)
     dims = neighbor.grid_dims(system.state.box.box_extents(), cutoff)
@@ -206,7 +214,7 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
             return carry, (cnt, ofl)
         return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
-    return _timed_stream(fn, xtc, window, runner)
+    return _timed_stream(fn, xtc, window, runner, subset=subset)
 
 
 def wl_sasa(system, xtc, window):
@@ -251,10 +259,8 @@ def wl_sasa(system, xtc, window):
         @jax.jit
         def fn(coords, boxes, invs, times):
             coords = decode_window_coords(coords)
-            def per_frame(carry, c):
-                x = jnp.stack(
-                    [c[:, 0][idx], c[:, 1][idx], c[:, 2][idx]], -1
-                )
+            def per_frame(carry, x):
+                # Subset transport: x is already the selection's rows.
                 nbr, ofl = sasa_lr.neighbor_lists_device(
                     x, radii, extents, dims, cell_cap, k_cap, max_pairs
                 )
@@ -270,15 +276,16 @@ def wl_sasa(system, xtc, window):
     fns = {0: build_fn(0)}
     for tier in range(3):
         fn = fns.setdefault(tier, build_fn(tier))
+        sub = np.asarray(idx)
         warmed = set()
-        for coords, *_ in _windows(xtc, window):
+        for coords, *_ in _windows(xtc, window, sub):
             if len(coords) not in warmed:
                 warmed.add(len(coords))
                 jax.block_until_ready(fn(jax.device_put(coords), None, None, None))
         n = 0
         outs = []
         t0 = time.perf_counter()
-        for coords, boxes, invs, times, ids in _windows(xtc, window):
+        for coords, boxes, invs, times, ids in _windows(xtc, window, sub):
             outs.append(fn(jax.device_put(coords), None, None, None))
             n += len(ids)
         jax.block_until_ready(outs)

@@ -156,6 +156,7 @@ class TrajectoryReader:
         n_threads: Optional[int] = None,
         invert_boxes: bool = True,
         quantized: bool = False,
+        subset: Optional[np.ndarray] = None,
     ):
         """Yield (coords, boxes (B,3,3), invs, times, frame_ids).
 
@@ -177,8 +178,17 @@ class TrajectoryReader:
         (non-XTC source, huge boxes, tiny frames) fall back to plain f32 —
         consumers must handle all three forms (see
         :func:`decode_window_coords`).
+
+        ``subset``: an int index array — windows carry only those atom rows
+        (in the given order). When the analysis reads a selection, shipping
+        the subset cuts the host->device wire by n_atoms/len(subset)
+        (decode still covers the full frame on the host; the slice is a
+        cheap gather). The reference's analogue is per-selection state
+        copies (Sel::clone semantics); here it is a transport-level choice.
         """
         from ..io.xtc import XtcHandler
+
+        sub = None if subset is None else np.asarray(subset, dtype=np.intp)
 
         fr_base = 0
         # The skip phase counts ELIGIBLE (begin/end-passing) frames globally
@@ -218,6 +228,8 @@ class TrajectoryReader:
                                 ic, scale, boxes, times_w = h.read_frames_i16(
                                     int(chunk[0]), len(chunk), n_threads
                                 )
+                                if sub is not None:
+                                    ic = np.ascontiguousarray(ic[:, sub])
                                 coords = (ic, scale)
                                 if quantized == "delta" and len(ic) > 1:
                                     d = np.diff(ic.astype(np.int32), axis=0)
@@ -235,14 +247,17 @@ class TrajectoryReader:
                             coords, boxes, times_w = h.read_frames(
                                 int(chunk[0]), len(chunk), n_threads
                             )
+                            if sub is not None:
+                                coords = np.ascontiguousarray(coords[:, sub])
                     else:
                         # decimated: decode frame-by-frame (still random access)
-                        coords = np.empty((len(chunk), h.n_atoms, 3), np.float32)
+                        n_rows = h.n_atoms if sub is None else len(sub)
+                        coords = np.empty((len(chunk), n_rows, 3), np.float32)
                         boxes = np.empty((len(chunk), 3, 3), np.float32)
                         times_w = np.empty(len(chunk), np.float32)
                         for k, fi in enumerate(chunk):
                             st = h.read_frame(int(fi))
-                            coords[k] = st.coords
+                            coords[k] = st.coords if sub is None else st.coords[sub]
                             boxes[k] = (
                                 st.box.matrix if st.box is not None else np.eye(3)
                             )
@@ -263,7 +278,11 @@ class TrajectoryReader:
                         n_eligible += 1
                         continue
                     n_eligible += 1
-                    buf_c.append(st.coords.astype(np.float32))
+                    buf_c.append(
+                        st.coords.astype(np.float32)
+                        if sub is None
+                        else st.coords[sub].astype(np.float32)
+                    )
                     buf_b.append(
                         st.box.matrix if st.box is not None else np.eye(3, dtype=np.float32)
                     )
@@ -355,6 +374,7 @@ class WindowPipeline:
         quantized: bool = False,
         mesh=None,
         ordered: bool = False,
+        subset: Optional[np.ndarray] = None,
     ):
         self.reader = reader
         self.window = window
@@ -365,6 +385,7 @@ class WindowPipeline:
         self.invert_boxes = invert_boxes
         self.quantized = quantized
         self.ordered = ordered
+        self.subset = subset
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import MeshWindowRunner
@@ -389,7 +410,7 @@ class WindowPipeline:
             try:
                 for item in self.reader.iter_windows(
                     self.window, self.n_threads, self.invert_boxes,
-                    quantized=self.quantized,
+                    quantized=self.quantized, subset=self.subset,
                 ):
                     coords, boxes, invs, times, ids = item
                     if runner is not None:

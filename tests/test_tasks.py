@@ -118,6 +118,30 @@ def test_window_pipeline_quantized_matches_plain(two_trajs):
     np.testing.assert_array_equal(collect(quantized="delta"), plain)
 
 
+def test_iter_windows_subset_matches_sliced_full(two_trajs):
+    """Subset transport ships only the requested rows, bit-identical to
+    slicing the full-frame windows, in every transport form (the delta form
+    deltas the SLICED ints, so a subset window can stay delta even when the
+    full frame would overflow)."""
+    from molar_tpu.tasks.trajectory import decode_window_coords
+
+    reader = TrajectoryReader(two_trajs)
+    sub = np.array([7, 3, 11, 0])  # out-of-order subset: order must persist
+    for quant in (False, True, "delta"):
+        full = [
+            np.asarray(decode_window_coords(c))
+            for c, *_ in reader.iter_windows(4, quantized=quant)
+        ]
+        subw = [
+            np.asarray(decode_window_coords(c))
+            for c, *_ in reader.iter_windows(4, quantized=quant, subset=sub)
+        ]
+        assert len(full) == len(subw)
+        for f, s in zip(full, subw):
+            assert s.shape == (f.shape[0], 4, 3)
+            np.testing.assert_array_equal(s, f[:, sub])
+
+
 def test_delta_transport_form_and_fallback(tmp_path):
     """Smooth windows ship as (frame0 i16, deltas i8, scale); a window with a
     jump beyond int8 falls back to the i16 pair. Both decode bit-exactly."""
