@@ -321,7 +321,7 @@ def wl_trjconv(system, xtc):
     return n, time.perf_counter() - t0
 
 
-def wl_membrane(n_frames=8, shards=0):
+def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6):
     # tiny flat bilayer, host pipeline (frames shard across chips via the
     # frame mesh in multi-chip deployments; single-process here).
     # ``shards > 1`` runs the multi-chip execution shape in-process: the
@@ -336,7 +336,6 @@ def wl_membrane(n_frames=8, shards=0):
     from molar_tpu.core.topology import Topology
     from molar_tpu.membrane import Membrane
 
-    nx = ny = 6
     spacing, z_mid = 0.8, 3.0
     atoms, coords = [], []
     rid = 0
@@ -374,6 +373,30 @@ tails = ["C1-C2-C3-C4"]
         base + rng.normal(0, 0.01, base.shape).astype(np.float32)
         for _ in range(n_frames)
     ]
+    if device:
+        # Window-batched jitted pipeline (membrane/device.py): one device
+        # dispatch per `window` frames; host does only the Welford update.
+        import jax
+
+        from molar_tpu.membrane.device import MembraneDevice
+
+        memb = Membrane(system, toml)
+        memb.add_ids_to_group("all", range(len(memb.lipids)))
+        dev = MembraneDevice(memb)
+        wins = [
+            np.stack([c[dev.subset] for c in frames[s : s + window]])
+            for s in range(0, n_frames, window)
+        ]
+        for w in {w.shape[0] for w in wins}:  # compile every window shape
+            jax.block_until_ready(
+                dev._window_fn(wins[0][:w], np.ones((w, 3), np.float32))
+            )
+        t0 = time.perf_counter()
+        outs = [dev.compute_window(w) for w in wins]
+        for o in outs:
+            dev.accumulate(o)
+        memb.finalize()
+        return n_frames, time.perf_counter() - t0
     if shards > 1:
         membs = []
         for s in range(shards):
@@ -496,7 +519,7 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
-                             "sasa", "membrane", "trjconv"])
+                             "sasa", "membrane", "membrane_dev", "trjconv"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (the axon TPU plugin "
                     "ignores JAX_PLATFORMS)")
@@ -540,6 +563,9 @@ def main() -> int:
         "contacts": lambda: wl_contacts(system, xtc, args.window, runner),
         "sasa": lambda: wl_sasa(system, xtc, args.window),
         "membrane": lambda: wl_membrane(shards=args.mesh),
+        "membrane_dev": lambda: wl_membrane(
+            n_frames=64, device=True, window=16
+        ),
         "trjconv": lambda: wl_trjconv(system, xtc),
     }
     out = {}

@@ -1,3 +1,19 @@
 from .membrane import LipidMolecule, LipidSpecies, Membrane, MembraneOptions
 
-__all__ = ["Membrane", "MembraneOptions", "LipidSpecies", "LipidMolecule"]
+
+def __getattr__(name):
+    # MembraneDevice pulls in jax; keep the host membrane importable without it
+    if name == "MembraneDevice":
+        from .device import MembraneDevice
+
+        return MembraneDevice
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Membrane",
+    "MembraneOptions",
+    "LipidSpecies",
+    "LipidMolecule",
+    "MembraneDevice",
+]

@@ -1,0 +1,712 @@
+"""Device (jitted) membrane per-frame pipeline, batched over frame windows.
+
+The host pipeline in :mod:`molar_tpu.membrane.membrane` runs ~100 numpy
+dispatches per frame on one CPU core (the profile is dominated by the batched
+Voronoi clip loop). This module traces the ENTIRE per-frame pipeline —
+marker COMs, patch adjacency, normal seeding, local frames, quadric fits,
+curvature, Voronoi cells, marker smoothing, curvature smoothing and tail
+order parameters — into one jitted program scanned over a window of frames,
+so a 16-frame window costs one device dispatch (SURVEY §7: "batched quadric
+fits are very TPU-friendly"; reference loop: molar_membrane/src/lib.rs:661-760
+rayon par_iter over lipids, re-expressed as lipid-axis arrays under jit).
+
+Numerics: the device path computes in f32 (matching the reference's Float
+build; molar_membrane works in f32 throughout), while the host path keeps
+numpy f64 — parity tests hold to ~1e-4..1e-3 relative, not bitwise. All
+3-vector transforms are elementwise (VPU) per the bf16-MXU rule; the
+quadric normal equations contract with ``precision=HIGHEST``.
+
+Divergence note: only orthorhombic boxes are supported on the device path
+(the triclinic image-correction search stays host-side); options with
+``n_shells_patch > 0`` fall back to the host pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.pbc import mat3_apply
+from .membrane import LipidGroup, Membrane, MembraneError
+
+_VORO_TOL = 1e-6  # f32 analogue of the host clip's 1e-10 (f64)
+_VORO_BOUND = 10.0
+
+
+# ---------------------------------------------------------------------------
+# jnp building blocks
+# ---------------------------------------------------------------------------
+
+
+def _unit(v, eps=0.0):
+    import jax.numpy as jnp
+
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.where(n == 0, 1.0, n)
+
+
+def _min_image_ortho(vec, ext):
+    """Orthorhombic minimum image, componentwise (ext: (3,) box extents)."""
+    import jax.numpy as jnp
+
+    return vec - ext * jnp.round(vec / ext)
+
+
+def _solve6_cholesky(M, rhs):
+    """Unrolled 6x6 Cholesky solve, batched over the leading axis.
+
+    Returns (coefs, ok) where ok is the "Cholesky succeeds" flag the host
+    path expresses as eigvalsh(M) > 0 (membrane.py:696): all pivots positive
+    and finite. Unrolled scalar recurrences keep everything on the VPU —
+    no lapack custom-call, no MXU.
+    """
+    import jax.numpy as jnp
+
+    n = 6
+    Lc = [[None] * n for _ in range(n)]
+    ok = jnp.ones(M.shape[0], bool)
+    for i in range(n):
+        for j in range(i + 1):
+            s = M[:, i, j]
+            for k in range(j):
+                s = s - Lc[i][k] * Lc[j][k]
+            if i == j:
+                ok = ok & (s > 0) & jnp.isfinite(s)
+                Lc[i][j] = jnp.sqrt(jnp.where(s > 0, s, 1.0))
+            else:
+                Lc[i][j] = s / Lc[j][j]
+    # forward substitution L y = rhs
+    y = [None] * n
+    for i in range(n):
+        s = rhs[:, i]
+        for k in range(i):
+            s = s - Lc[i][k] * y[k]
+        y[i] = s / Lc[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - Lc[k][i] * x[k]
+        x[i] = s / Lc[i][i]
+    return jnp.stack(x, axis=1), ok
+
+
+def _voronoi_batch(points, pmask):
+    """jnp port of :func:`molar_tpu.ops.voronoi.voronoi_cells_batch`.
+
+    ``points`` (L, P, 2), ``pmask`` (L, P); neighbor id of cut k is k
+    itself (the caller indexes cuts by lipid id). Returns
+    (verts (L, V, 2), edge_ids (L, V) int32, counts (L,) int32) with
+    V = 4 + P + 1. Same Sutherland-Hodgman expression sequence as the host
+    loop, under lax.fori_loop (one compiled body for all P cuts).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    L, P = pmask.shape
+    V = 4 + P + 1
+    b = _VORO_BOUND
+    verts0 = jnp.zeros((L, V, 2), jnp.float32)
+    verts0 = verts0.at[:, 0].set(jnp.array([-b, -b]))
+    verts0 = verts0.at[:, 1].set(jnp.array([b, -b]))
+    verts0 = verts0.at[:, 2].set(jnp.array([b, b]))
+    verts0 = verts0.at[:, 3].set(jnp.array([-b, b]))
+    eids0 = jnp.zeros((L, V), jnp.int32)
+    eids0 = eids0.at[:, :4].set(jnp.array([-1, -2, -3, -4], jnp.int32))
+    counts0 = jnp.full((L,), 4, jnp.int32)
+    idxV = jnp.arange(V)[None, :]
+
+    def body(k, carry):
+        verts, eids, counts = carry
+        nx = 0.5 * points[:, k, 0]
+        ny = 0.5 * points[:, k, 1]
+        c = nx * nx + ny * ny
+        active = pmask[:, k] & (c >= _VORO_TOL)
+        valid = idxV < counts[:, None]
+        d = nx[:, None] * verts[:, :, 0] + ny[:, None] * verts[:, :, 1] - c[:, None]
+        inside = d < _VORO_TOL
+        ins_valid = inside & valid
+        all_in = jnp.all(ins_valid == valid, axis=1)
+        all_out = ~jnp.any(ins_valid, axis=1)
+        change = active & ~all_in & ~all_out
+        j = jnp.where(idxV + 1 < counts[:, None], idxV + 1, 0)
+        d_j = jnp.take_along_axis(d, j, axis=1)
+        in_b = d_j < _VORO_TOL
+        crossing = valid & (inside != in_b)
+        emit_a = valid & inside
+        ax, ay = verts[:, :, 0], verts[:, :, 1]
+        bx = jnp.take_along_axis(ax, j, axis=1)
+        by = jnp.take_along_axis(ay, j, axis=1)
+        denom = d - d_j
+        t = d / jnp.where(denom == 0, 1.0, denom)
+        ix = ax + t * (bx - ax)
+        iy = ay + t * (by - ay)
+        x_id = jnp.where(inside, jnp.int32(k), eids)
+        emit = jnp.stack([emit_a, crossing], axis=2).reshape(L, 2 * V)
+        pos = jnp.cumsum(emit, axis=1) - emit
+        new_counts = emit.sum(axis=1).astype(jnp.int32)
+        vx_s = jnp.stack([ax, ix], axis=2).reshape(L, 2 * V)
+        vy_s = jnp.stack([ay, iy], axis=2).reshape(L, 2 * V)
+        id_s = jnp.stack([eids, x_id], axis=2).reshape(L, 2 * V)
+        # scatter emitted slots to their exclusive-prefix positions
+        rows = jnp.broadcast_to(jnp.arange(L)[:, None], (L, 2 * V))
+        flat = jnp.where(emit, rows * V + pos, L * V)  # L*V = dropped
+        nvx = jnp.zeros(L * V + 1, jnp.float32).at[flat.ravel()].set(
+            vx_s.ravel(), mode="drop"
+        )[:-1].reshape(L, V)
+        nvy = jnp.zeros(L * V + 1, jnp.float32).at[flat.ravel()].set(
+            vy_s.ravel(), mode="drop"
+        )[:-1].reshape(L, V)
+        nid = jnp.zeros(L * V + 1, jnp.int32).at[flat.ravel()].set(
+            id_s.ravel(), mode="drop"
+        )[:-1].reshape(L, V)
+        nverts = jnp.stack([nvx, nvy], axis=-1)
+        verts = jnp.where(change[:, None, None], nverts, verts)
+        eids = jnp.where(change[:, None], nid, eids)
+        counts = jnp.where(change, jnp.minimum(new_counts, V), counts)
+        return verts, eids, counts
+
+    return jax.lax.fori_loop(0, P, body, (verts0, eids0, counts0))
+
+
+def _order_batch(order_type, coords, normals, bond_orders):
+    """jnp port of measure_host.lipid_tail_order_batch (same expression
+    sequence; the bond-order branch structure is static, so the position
+    loop unrolls at trace time)."""
+    import jax.numpy as jnp
+
+    L, n = coords.shape[0], coords.shape[1]
+    normals = jnp.broadcast_to(normals[:, None, :], (L, max(n - 2, 1), 3))
+
+    def cosang(a, b):
+        num = jnp.sum(a * b, axis=-1)
+        den = jnp.sqrt(jnp.sum(a * a, -1) * jnp.sum(b * b, -1))
+        return jnp.clip(num / jnp.where(den == 0, 1.0, den), -1.0, 1.0)
+
+    cols = [jnp.zeros(L, jnp.float32) for _ in range(n - 2)]
+    if order_type == "sz":
+        for at in range(1, n - 1):
+            v = coords[:, at + 1] - coords[:, at - 1]
+            cth = cosang(v, normals[:, at - 1])
+            cols[at - 1] = 1.5 * cth**2 - 0.5
+        return jnp.stack(cols, axis=1)
+
+    corr = order_type == "scdcorr"
+    for i in range(n - 2):
+        if bond_orders[i] == 1:
+            if bond_orders[i + 1] == 1:
+                p1, p2, p3 = coords[:, i], coords[:, i + 1], coords[:, i + 2]
+                local_z = _unit(p3 - p1)
+                local_x = _unit(jnp.cross(p1 - p2, p3 - p2))
+                local_y = jnp.cross(local_x, local_z)
+                nv = normals[:, i]
+                sxx = 0.5 * (3 * cosang(local_x, nv) ** 2 - 1)
+                syy = 0.5 * (3 * cosang(local_y, nv) ** 2 - 1)
+                cols[i] = -(2 * sxx + syy) / 3.0
+        else:
+            p1, p2, p3, p4 = (
+                coords[:, i - 1],
+                coords[:, i],
+                coords[:, i + 1],
+                coords[:, i + 2],
+            )
+            a1 = 0.5 * (jnp.pi - jnp.arccos(cosang(p1 - p2, p3 - p2)))
+            a2 = 0.5 * (jnp.pi - jnp.arccos(cosang(p2 - p3, p4 - p3)))
+            local_z = _unit(p3 - p2)
+            local_x = _unit(jnp.cross(p1 - p2, local_z))
+            local_y = jnp.cross(local_x, local_z)
+            n1 = normals[:, i]
+            szz = 0.5 * (3 * cosang(local_z, n1) ** 2 - 1)
+            syy = 0.5 * (3 * cosang(local_y, n1) ** 2 - 1)
+            syz = 1.5 * cosang(local_y, n1) * cosang(local_z, n1)
+            if corr:
+                cols[i - 1] = -(
+                    jnp.cos(a1) ** 2 * syy
+                    + jnp.sin(a1) ** 2 * szz
+                    - 2 * jnp.cos(a1) * jnp.sin(a1) * syz
+                )
+            else:
+                cols[i - 1] = -(szz / 4 + 3 * syy / 4 - np.sqrt(3.0) * syz / 2)
+            local_x = _unit(jnp.cross(p3 - p4, local_z))
+            local_y = jnp.cross(local_x, local_z)
+            n2 = normals[:, min(i + 1, max(n - 2, 1) - 1)]
+            szz = 0.5 * (3 * cosang(local_z, n2) ** 2 - 1)
+            syy = 0.5 * (3 * cosang(local_y, n2) ** 2 - 1)
+            syz = 1.5 * cosang(local_y, n2) * cosang(local_z, n2)
+            if corr:
+                cols[i] = -(
+                    jnp.cos(a2) ** 2 * syy
+                    + jnp.sin(a2) ** 2 * szz
+                    + 2 * jnp.cos(a2) * jnp.sin(a2) * syz
+                )
+            else:
+                cols[i] = -(szz / 4 + 3 * syy / 4 + np.sqrt(3.0) * syz / 2)
+    return jnp.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# The window program
+# ---------------------------------------------------------------------------
+
+
+class MembraneDevice:
+    """Window-batched device execution of a :class:`Membrane`'s per-frame
+    pipeline. Build once per Membrane; call :meth:`compute_window` with
+    frame windows, then :meth:`accumulate` to fold results into the host
+    Membrane's group statistics (same Welford accumulators, so
+    ``merge_stats_from`` and ``save`` keep working).
+    """
+
+    def __init__(self, membrane: Membrane):
+        import jax
+
+        m = membrane
+        opt = m.options
+        if opt.n_shells_patch > 0:
+            raise MembraneError(
+                "device membrane path does not support n_shells_patch > 0; "
+                "use the host pipeline"
+            )
+        box = m.system.state.require_box()
+        mat = np.asarray(box.matrix, np.float64)
+        if np.abs(mat - np.diag(np.diag(mat))).max() > 1e-9:
+            raise MembraneError(
+                "device membrane path supports orthorhombic boxes only"
+            )
+        self.membrane = m
+        self.options = opt
+        L = len(m.lipids)
+        self.n_lipids = L
+
+        # ---- static index structure (all local to the shipped subset) ----
+        atom_idx = np.concatenate([l.sel.indices for l in m.lipids])
+        self.subset = atom_idx  # global rows to ship (iter_windows(subset=))
+        g2l = {int(g): i for i, g in enumerate(atom_idx)}
+        loc = lambda garr: np.asarray([g2l[int(g)] for g in garr], np.int32)
+        self._first = loc([l.sel.indices[0] for l in m.lipids])
+        self._atom_first = np.concatenate(
+            [
+                np.full(len(l.sel.indices), self._first[i], np.int32)
+                for i, l in enumerate(m.lipids)
+            ]
+        )
+        masses = np.asarray(m.system.topology.mass, np.float32)
+        self._masses = masses[atom_idx]
+
+        def marker(idx_of):
+            idx = np.concatenate([loc(idx_of(l)) for l in m.lipids])
+            seg = np.concatenate(
+                [
+                    np.full(len(idx_of(l)), i, np.int32)
+                    for i, l in enumerate(m.lipids)
+                ]
+            )
+            return idx, seg
+
+        self._head = marker(lambda l: l.head_idx)
+        self._mid = marker(lambda l: l.mid_idx)
+        self._tail = marker(lambda l: l.tail_end_idx)
+
+        # species grouping (static): lipid ids per species, tail index
+        # matrices local to the subset
+        self.species_names = sorted({l.species.name for l in m.lipids})
+        self._sp_lipids = {}
+        self._sp_tails = {}
+        for sp in self.species_names:
+            lids = np.asarray(
+                [i for i, l in enumerate(m.lipids) if l.species.name == sp],
+                np.int32,
+            )
+            self._sp_lipids[sp] = lids
+            spec = m.lipids[int(lids[0])].species
+            tails = []
+            for offsets, orders in spec.tails:
+                tl = self._first[lids][:, None] + np.asarray(offsets, np.int32)
+                tails.append((tl.astype(np.int32), tuple(int(o) for o in orders)))
+            self._sp_tails[sp] = tails
+        self.species_of = np.asarray(
+            [self.species_names.index(l.species.name) for l in m.lipids],
+            np.int32,
+        )
+
+        self._window_fn = jax.jit(self._build_window_fn())
+
+    # -- traced pipeline ----------------------------------------------------
+
+    def _build_window_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        opt = self.options
+        L = self.n_lipids
+        cutoff2 = np.float32(opt.cutoff**2)
+        first = jnp.asarray(self._first)
+        atom_first = jnp.asarray(self._atom_first)
+        masses = jnp.asarray(self._masses)
+        head_i, head_s = map(jnp.asarray, self._head)
+        mid_i, mid_s = map(jnp.asarray, self._mid)
+        tail_i, tail_s = map(jnp.asarray, self._tail)
+        gn = (
+            None
+            if opt.global_normal is None
+            else jnp.asarray(opt.global_normal, jnp.float32)
+        )
+        eyeL = jnp.eye(L, dtype=bool)
+        hp = jax.lax.Precision.HIGHEST
+
+        def seg_com(u, idx, seg):
+            w = masses[idx]
+            wsum = jax.ops.segment_sum(w, seg, num_segments=L)
+            out = []
+            for d in range(3):
+                out.append(
+                    jax.ops.segment_sum(w * u[:, d][idx], seg, num_segments=L)
+                )
+            return jnp.stack(out, axis=-1) / wsum[:, None]
+
+        def gather_rows(u, idx):
+            # per-component 1-D gathers (CLAUDE.md: (n,3) row gathers are a
+            # compile-time trap; componentwise is fast and fuses)
+            return jnp.stack([u[:, 0][idx], u[:, 1][idx], u[:, 2][idx]], -1)
+
+        def masked_sum(mask, x):
+            # sum_j mask[l, j] * x[l, j, ...] without 0*NaN poisoning
+            return jnp.sum(
+                jnp.where(mask[..., None], x, 0.0), axis=1
+            )
+
+        def smooth_pass(markers, normals, adj, valid, ext):
+            """One _smooth() pass (membrane.py:654-811), lipid-axis batched.
+
+            Invalid NEIGHBORS deliberately stay in the fits and clips
+            (matching the host's pmask semantics: only OWN validity gates).
+            """
+            counts = jnp.sum(adj, axis=1)
+            valid = valid & (counts > 0)
+
+            # local frames: columns (n x ex), (n x (n x ex)), -n
+            ex = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+            c0 = jnp.cross(normals, ex)
+            c1 = jnp.cross(normals, c0)
+            to_lab = jnp.stack([c0, c1, -normals], axis=2)  # (L,3,3) columns
+            det = (
+                to_lab[:, 0, 0]
+                * (to_lab[:, 1, 1] * to_lab[:, 2, 2] - to_lab[:, 1, 2] * to_lab[:, 2, 1])
+                - to_lab[:, 0, 1]
+                * (to_lab[:, 1, 0] * to_lab[:, 2, 2] - to_lab[:, 1, 2] * to_lab[:, 2, 0])
+                + to_lab[:, 0, 2]
+                * (to_lab[:, 1, 0] * to_lab[:, 2, 1] - to_lab[:, 1, 1] * to_lab[:, 2, 0])
+            )
+            sing = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-12)
+            valid = valid & ~sing
+            safed = jnp.where(sing, 1.0, det)
+            A = to_lab
+            # adjugate / det inverse (closed form, VPU)
+            inv = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            A[:, 1, 1] * A[:, 2, 2] - A[:, 1, 2] * A[:, 2, 1],
+                            A[:, 0, 2] * A[:, 2, 1] - A[:, 0, 1] * A[:, 2, 2],
+                            A[:, 0, 1] * A[:, 1, 2] - A[:, 0, 2] * A[:, 1, 1],
+                        ],
+                        -1,
+                    ),
+                    jnp.stack(
+                        [
+                            A[:, 1, 2] * A[:, 2, 0] - A[:, 1, 0] * A[:, 2, 2],
+                            A[:, 0, 0] * A[:, 2, 2] - A[:, 0, 2] * A[:, 2, 0],
+                            A[:, 0, 2] * A[:, 1, 0] - A[:, 0, 0] * A[:, 1, 2],
+                        ],
+                        -1,
+                    ),
+                    jnp.stack(
+                        [
+                            A[:, 1, 0] * A[:, 2, 1] - A[:, 1, 1] * A[:, 2, 0],
+                            A[:, 0, 1] * A[:, 2, 0] - A[:, 0, 0] * A[:, 2, 1],
+                            A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0],
+                        ],
+                        -1,
+                    ),
+                ],
+                axis=1,
+            ) / safed[:, None, None]
+
+            # min-image displacements to every patch member, local coords
+            rel = _min_image_ortho(markers[None, :, :] - markers[:, None, :], ext)
+            local = jnp.einsum("lij,lpj->lpi", inv, rel, precision=hp)
+            x, y, z = local[..., 0], local[..., 1], local[..., 2]
+
+            # quadric z = Ax^2+By^2+Cxy+Dx+Ey+F, masked normal equations
+            Pm = jnp.stack([x * x, y * y, x * y, x, y, jnp.ones_like(x)], -1)
+            Pm = jnp.where(adj[..., None], Pm, 0.0)
+            zm = jnp.where(adj, z, 0.0)
+            zm = jnp.where(jnp.isfinite(zm), zm, 0.0)
+            Pm = jnp.where(jnp.isfinite(Pm), Pm, 0.0)
+            M = jnp.einsum("lpi,lpj->lij", Pm, Pm, precision=hp)
+            rhs = jnp.einsum("lpi,lp->li", Pm, zm, precision=hp)
+            M = jnp.where(valid[:, None, None], M, jnp.eye(6, dtype=M.dtype))
+            coefs, pd = _solve6_cholesky(M, rhs)
+            valid = valid & pd
+
+            a, b, c, d, e, f = (coefs[:, k] for k in range(6))
+            E = 1 + d * d
+            F = d * e
+            G = 1 + e * e
+            Lq = 2 * a
+            Mq = c
+            Nq = 2 * b
+            Z = jnp.where(valid, E * G - F * F, 1.0)
+            gaussian = (Lq * Nq - Mq * Mq) / Z
+            meanc = 0.5 * (E * Nq - 2 * F * Mq + G * Lq) / Z
+            vn = _unit(jnp.stack([d, e, -jnp.ones_like(d)], axis=1))
+            new_normals = jnp.einsum("lij,lj->li", to_lab, vn, precision=hp)
+
+            zs = (
+                a[:, None] * x * x
+                + b[:, None] * y * y
+                + c[:, None] * x * y
+                + d[:, None] * x
+                + e[:, None] * y
+                + f[:, None]
+            )
+            fit_pts = markers[None, :, :] + (zs - z)[..., None] * to_lab[:, None, :, 2]
+
+            # Voronoi cells in the local tangent plane
+            pts2 = jnp.where(adj[..., None], local[:, :, :2], 0.0)
+            pts2 = jnp.where(jnp.isfinite(pts2), pts2, 0.0)
+            vb, ebids, cb = _voronoi_batch(pts2, adj & valid[:, None])
+            V = vb.shape[1]
+            mvalid = jnp.arange(V)[None, :] < cb[:, None]
+            wall = jnp.any(mvalid & (ebids < 0), axis=1)
+            valid = valid & ~wall
+
+            # neighbor adjacency from surviving edges
+            rows = jnp.broadcast_to(jnp.arange(L)[:, None], (L, V))
+            tgt = jnp.where(
+                mvalid & (ebids >= 0), rows * L + ebids, L * L
+            )
+            neib = (
+                jnp.zeros(L * L + 1, bool)
+                .at[tgt.ravel()]
+                .set(True, mode="drop")[:-1]
+                .reshape(L, L)
+            )
+
+            # surface-lifted polygon, shoelace area (same per-edge order)
+            v2x, v2y = vb[:, :, 0], vb[:, :, 1]
+            zs_all = (
+                a[:, None] * v2x * v2x
+                + b[:, None] * v2y * v2y
+                + c[:, None] * v2x * v2y
+                + d[:, None] * v2x
+                + e[:, None] * v2y
+                + f[:, None]
+            )
+            voro = jnp.einsum(
+                "lij,lvj->lvi",
+                to_lab,
+                jnp.stack([v2x, v2y, zs_all], axis=-1),
+                precision=hp,
+            )
+            nxt_i = jnp.where(
+                jnp.arange(V)[None, :] + 1 < cb[:, None],
+                jnp.arange(V)[None, :] + 1,
+                0,
+            )
+            nxt = jnp.take_along_axis(voro, nxt_i[:, :, None], axis=1)
+            cr = jnp.cross(voro, nxt)
+            areas = 0.5 * jnp.sum(
+                jnp.where(mvalid, jnp.sqrt(jnp.sum(cr * cr, -1)), 0.0), axis=1
+            )
+
+            runaway = jnp.abs(f) > 0.5
+            valid = valid & ~runaway
+            new_markers = markers + f[:, None] * to_lab[:, :, 2]
+
+            # marker smoothing: valid OWNERS scatter their fitted projection
+            # of member j back onto j (np.add.at analogue, transposed sum)
+            ok = valid[:, None] & adj  # (owner i, member j)
+            sm_n = 1.0 + jnp.sum(ok, axis=0)
+            sm_p = new_markers + jnp.sum(
+                jnp.where(ok[..., None], fit_pts, 0.0), axis=0
+            )
+            # only valid lipids take the smoothed marker (host: for _valid())
+            new_markers = jnp.where(
+                valid[:, None], sm_p / sm_n[:, None], new_markers
+            )
+            return new_markers, new_normals, valid, neib, meanc, gaussian, areas
+
+        def per_frame(coords, ext):
+            # 1. unwrap each lipid to its first atom's image
+            ref = gather_rows(coords, atom_first)
+            u = ref + _min_image_ortho(coords - ref, ext)
+
+            # 2. markers
+            heads = seg_com(u, head_i, head_s)
+            mids = seg_com(u, mid_i, mid_s)  # noqa: F841 (parity with host)
+            tails = seg_com(u, tail_i, tail_s)
+
+            # 3. patches: head-marker adjacency within cutoff (min image)
+            dm = _min_image_ortho(heads[None, :, :] - heads[:, None, :], ext)
+            adj = (jnp.sum(dm * dm, -1) <= cutoff2) & ~eyeL
+
+            # 4. tail-head vectors + 2-pass normal seeding
+            thv = _unit(heads - tails)
+            vecs = thv
+            for _ in range(2):
+                cos = jnp.sum(vecs[:, None, :] * vecs[None, :, :], axis=-1)
+                keep = adj & (cos >= 0)
+                acc = vecs + masked_sum(
+                    keep, jnp.broadcast_to(vecs[None, :, :], (L, L, 3))
+                )
+                vecs = _unit(acc)
+            normals = vecs
+
+            valid = jnp.ones(L, bool)
+            markers = heads
+            for _ in range(max(opt.max_smooth_iter, 1)):
+                markers, normals, valid, neib, meanc, gaussc, areas = smooth_pass(
+                    markers, normals, adj, valid, ext
+                )
+
+            # 5. order parameters per species/tail (on unwrapped coords)
+            order = {}
+            for sp in self.species_names:
+                lids = jnp.asarray(self._sp_lipids[sp])
+                if gn is not None:
+                    nrm = jnp.broadcast_to(gn[None, :], (len(self._sp_lipids[sp]), 3))
+                else:
+                    nrm = gather_rows(normals, lids)
+                tvals = []
+                for tl, orders in self._sp_tails[sp]:
+                    tc = jnp.stack(
+                        [u[:, 0][tl], u[:, 1][tl], u[:, 2][tl]], -1
+                    )
+                    tvals.append(
+                        _order_batch(opt.order_type, tc, nrm, orders)
+                    )
+                order[sp] = tvals
+
+            # 6. curvature smoothing over n shells of the Voronoi graph
+            ns = opt.n_shells_smoothing
+            if ns >= 1:
+                reach = neib
+                for _ in range(ns - 1):
+                    grow = jnp.any(reach[:, :, None] & neib[None, :, :], axis=1)
+                    reach = reach | grow
+                wm = reach & valid[None, :]
+                cnt = jnp.sum(wm, axis=1)
+                msum = jnp.sum(jnp.where(wm, meanc[None, :], 0.0), axis=1)
+                gsum = jnp.sum(jnp.where(wm, gaussc[None, :], 0.0), axis=1)
+                has = valid & (cnt > 0)
+                meanc = jnp.where(has, (meanc + msum) / (cnt + 1), meanc)
+                gaussc = jnp.where(has, (gaussc + gsum) / (cnt + 1), gaussc)
+
+            return {
+                "valid": valid,
+                "area": areas,
+                "mean_curv": meanc,
+                "gauss_curv": gaussc,
+                "normal": normals,
+                "thv": thv,
+                "n_neighbors": jnp.sum(neib, axis=1),
+                "neib": neib,
+                "order": order,
+            }
+
+        def window_fn(coords, exts):
+            import jax
+
+            def step(carry, fr):
+                c, e = fr
+                return carry, per_frame(c, e)
+
+            return jax.lax.scan(step, 0, (coords, exts))[1]
+
+        return window_fn
+
+    # -- host driver ----------------------------------------------------------
+
+    def compute_window(self, coords, boxes=None):
+        """Run the jitted pipeline on a window.
+
+        ``coords``: (B, n_subset_atoms, 3) f32 (rows per :attr:`subset`) or
+        any transport tuple from ``iter_windows(subset=...)``;
+        ``boxes``: (B, 3, 3) (None = the system's current box for every
+        frame). Returns the per-frame output pytree as numpy arrays.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..tasks.trajectory import decode_window_coords
+
+        coords = decode_window_coords(coords)
+        B = coords.shape[0]
+        if boxes is None:
+            ext = np.diag(
+                np.asarray(self.membrane.system.state.require_box().matrix)
+            ).astype(np.float32)
+            exts = np.broadcast_to(ext, (B, 3))
+        else:
+            exts = np.stack([np.diag(np.asarray(b)) for b in np.asarray(boxes)])
+        out = self._window_fn(coords, jnp.asarray(exts, jnp.float32))
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    def accumulate(self, outs) -> None:
+        """Fold a window's outputs into the Membrane's group statistics
+        (the array form of LipidGroup.frame_update, same Welford streams)."""
+        m = self.membrane
+        B = outs["valid"].shape[0]
+        for fr in range(B):
+            valid = outs["valid"][fr]
+            tilt = _tilt_deg(outs["normal"][fr], outs["thv"][fr])
+            for gr in m.groups.values():
+                self._group_update(gr, fr, outs, valid, tilt)
+
+    def _group_update(self, gr: LipidGroup, fr, outs, valid, tilt):
+        in_group = np.zeros(self.n_lipids, bool)
+        in_group[list(gr.lipid_ids)] = True
+        neib = outs["neib"][fr]
+        for sp in gr.species_names:
+            st = gr.per_species[sp]
+            spm = self.species_of == self.species_names.index(sp)
+            sel = in_group & valid & spm
+            idx = np.nonzero(sel)[0]
+            st["count"].add(len(idx))
+            if len(idx) == 0:
+                continue
+            st["area"].add(float(np.mean(outs["area"][fr][idx])))
+            st["tilt"].add(float(np.mean(tilt[idx])))
+            st["mean_curv"].add(float(np.mean(outs["mean_curv"][fr][idx])))
+            st["gauss_curv"].add(float(np.mean(outs["gauss_curv"][fr][idx])))
+            st["n_neighbors"].add(float(np.mean(outs["n_neighbors"][fr][idx])))
+            # neighbor species fractions (neighbors restricted to the group)
+            nb = neib[idx] & in_group[None, :]
+            total = int(nb.sum())
+            if total:
+                for s in gr.species_names:
+                    cnt = int(
+                        nb[:, self.species_of == self.species_names.index(s)].sum()
+                    )
+                    st["neib_fractions"][s].add(cnt / total)
+            # order profiles: mean over the group's valid lipids of the species
+            sp_l = self._sp_lipids[sp]
+            rows = np.nonzero(sel[sp_l])[0]
+            tails = outs["order"][sp]
+            if len(rows) and len(tails):
+                from .membrane import _RunningStats
+
+                if st["order"] is None:
+                    st["order"] = [
+                        _RunningStats((t.shape[-1],)) for t in tails
+                    ]
+                for k, t in enumerate(tails):
+                    st["order"][k].add(np.mean(t[fr][rows], axis=0))
+
+
+def _tilt_deg(normals, thv):
+    num = np.sum(normals * thv, axis=1)
+    den = np.linalg.norm(normals, axis=1) * np.linalg.norm(thv, axis=1)
+    c = np.clip(num / np.where(den == 0, 1.0, den), -1, 1)
+    return np.degrees(np.arccos(c))

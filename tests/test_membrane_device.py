@@ -1,0 +1,168 @@
+"""Device (jitted, window-batched) membrane pipeline vs the host pipeline.
+
+The device path computes in f32 (the reference's Float build) while the host
+path is numpy f64, so parity is tolerance-based, not bitwise: per-frame
+per-lipid quantities agree to ~1e-3 relative (curvatures are second
+derivatives of an LSQ fit — the loosest), areas/orders/normals tighter.
+"""
+
+import numpy as np
+import pytest
+
+from molar_tpu import PeriodicBox, System
+from molar_tpu.core.atom import Atom
+from molar_tpu.core.state import State
+from molar_tpu.core.topology import Topology
+from molar_tpu.membrane import Membrane
+from molar_tpu.membrane.device import MembraneDevice
+
+
+def make_bilayer(nx=5, ny=5, bend=0.15, seed=0):
+    spacing, z_mid = 0.8, 3.0
+    atoms, coords = [], []
+    rid = 0
+    for leaflet, zdir in ((0, 1.0), (1, -1.0)):
+        for i in range(nx):
+            for j in range(ny):
+                rid += 1
+                x, y = i * spacing, j * spacing
+                # gentle curvature so mean/gaussian aren't trivially zero
+                zb = bend * np.sin(2 * np.pi * x / (nx * spacing))
+                for k, nm in enumerate(["P", "G", "C1", "C2", "C3", "C4"]):
+                    atoms.append(Atom(name=nm, resname="LIP", resid=rid,
+                                      atomic_number=6, mass=12.0))
+                    coords.append([x, y, z_mid + zb + zdir * (0.9 - 0.25 * k)])
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    st = State(
+        coords=np.asarray(coords, np.float32),
+        box=PeriodicBox(
+            np.diag([nx * spacing, ny * spacing, 6.0]).astype(np.float32)
+        ),
+    )
+    return System(top, st)
+
+
+TOML = """
+sel = "all"
+cutoff = 2.0
+order_type = "scdcorr"
+output_dir = "{out}"
+groups = ["all"]
+{extra}
+[lipids.LIP]
+whole = "resname LIP"
+head = "name P"
+mid = "name G"
+tails = ["C1-C2-C3-C4"]
+"""
+
+
+def run_both(tmp_path, n_frames=4, toml_extra="", sigma=0.01):
+    sys_h = make_bilayer()
+    toml = TOML.format(out=str(tmp_path / "host"), extra=toml_extra)
+    memb_h = Membrane(sys_h, toml)
+    memb_h.add_ids_to_group("all", range(len(memb_h.lipids)))
+
+    sys_d = make_bilayer()
+    memb_d = Membrane(sys_d, TOML.format(out=str(tmp_path / "dev"), extra=toml_extra))
+    memb_d.add_ids_to_group("all", range(len(memb_d.lipids)))
+    dev = MembraneDevice(memb_d)
+
+    rng = np.random.default_rng(3)
+    base = sys_h.state.coords.copy()
+    frames = [
+        base + rng.normal(0, sigma, base.shape).astype(np.float32)
+        for _ in range(n_frames)
+    ]
+    host_per_frame = []
+    for c in frames:
+        sys_h.state.coords = c.copy()
+        memb_h.compute()
+        host_per_frame.append(
+            {
+                "valid": np.array([l.valid for l in memb_h.lipids]),
+                "area": np.array([l.area for l in memb_h.lipids]),
+                "mean": np.array([l.mean_curv for l in memb_h.lipids]),
+                "gauss": np.array([l.gaussian_curv for l in memb_h.lipids]),
+                "nneib": np.array([len(l.neib_ids) for l in memb_h.lipids]),
+                "neib": [sorted(l.neib_ids) for l in memb_h.lipids],
+                "order": [np.array(l.order[0]) for l in memb_h.lipids],
+            }
+        )
+
+    window = np.stack([c[dev.subset] for c in frames])
+    outs = dev.compute_window(window.astype(np.float32))
+    dev.accumulate(outs)
+    return memb_h, memb_d, dev, host_per_frame, outs
+
+
+def test_device_matches_host_per_lipid(tmp_path):
+    memb_h, memb_d, dev, host, outs = run_both(tmp_path)
+    for fr, h in enumerate(host):
+        np.testing.assert_array_equal(outs["valid"][fr], h["valid"],
+                                      err_msg=f"valid flags frame {fr}")
+        v = h["valid"]
+        np.testing.assert_allclose(outs["area"][fr][v], h["area"][v],
+                                   rtol=2e-3, err_msg=f"areas frame {fr}")
+        np.testing.assert_allclose(outs["mean_curv"][fr][v], h["mean"][v],
+                                   rtol=0.05, atol=5e-4,
+                                   err_msg=f"mean curvature frame {fr}")
+        np.testing.assert_allclose(outs["gauss_curv"][fr][v], h["gauss"][v],
+                                   rtol=0.05, atol=5e-4,
+                                   err_msg=f"gaussian curvature frame {fr}")
+        np.testing.assert_array_equal(outs["n_neighbors"][fr][v],
+                                      h["nneib"][v])
+        for i in np.nonzero(v)[0]:
+            assert sorted(np.nonzero(outs["neib"][fr][i])[0]) == h["neib"][i]
+
+
+def test_device_matches_host_order(tmp_path):
+    memb_h, memb_d, dev, host, outs = run_both(tmp_path)
+    sp_l = dev._sp_lipids["LIP"]
+    for fr, h in enumerate(host):
+        dev_order = outs["order"]["LIP"][0][fr]  # (L, n-2)
+        for r, lid in enumerate(sp_l):
+            if h["valid"][lid]:
+                np.testing.assert_allclose(
+                    dev_order[r], h["order"][lid], rtol=1e-3, atol=1e-4,
+                    err_msg=f"order frame {fr} lipid {lid}")
+
+
+def test_device_group_stats_match(tmp_path):
+    memb_h, memb_d, dev, host, outs = run_both(tmp_path)
+    for name, gh in memb_h.groups.items():
+        gd = memb_d.groups[name]
+        for sp in gh.species_names:
+            sth, std_ = gh.per_species[sp], gd.per_species[sp]
+            for key in ("count", "area", "tilt", "mean_curv", "gauss_curv",
+                        "n_neighbors"):
+                np.testing.assert_allclose(
+                    std_[key].mean, sth[key].mean, rtol=0.05, atol=2e-3,
+                    err_msg=f"group stat {key}")
+            for s, acc in sth["neib_fractions"].items():
+                np.testing.assert_allclose(
+                    std_["neib_fractions"][s].mean, acc.mean, atol=1e-6)
+            assert (std_["order"] is None) == (sth["order"] is None)
+            if sth["order"] is not None:
+                for a, b in zip(std_["order"], sth["order"]):
+                    np.testing.assert_allclose(a.mean, b.mean,
+                                               rtol=1e-3, atol=1e-4)
+
+
+def test_device_curvature_smoothing(tmp_path):
+    memb_h, memb_d, dev, host, outs = run_both(
+        tmp_path, toml_extra="n_shells_smoothing = 1")
+    for fr, h in enumerate(host):
+        v = h["valid"]
+        np.testing.assert_allclose(outs["mean_curv"][fr][v], h["mean"][v],
+                                   rtol=0.05, atol=5e-4)
+
+
+def test_device_rejects_unsupported(tmp_path):
+    sys_h = make_bilayer()
+    memb = Membrane(
+        sys_h, TOML.format(out=str(tmp_path), extra="n_shells_patch = 1")
+    )
+    with pytest.raises(Exception):
+        MembraneDevice(memb)
