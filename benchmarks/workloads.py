@@ -347,7 +347,11 @@ def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6):
                 for k, nm in enumerate(["P", "G", "C1", "C2", "C3", "C4"]):
                     atoms.append(Atom(name=nm, resname="LIP", resid=rid,
                                       atomic_number=6, mass=12.0))
-                    coords.append([x, y, z_mid + zdir * (0.9 - 0.25 * k)])
+                    # head planes 3.0 nm apart: the 2.0 nm patch cutoff must
+                    # stay in-leaflet, else the |f|>0.5 fit check invalidates
+                    # every lipid and the stats are empty (round-3 geometry
+                    # had the leaflets 1.8 nm apart — a silent workload bug)
+                    coords.append([x, y, z_mid + zdir * (1.5 - 0.3 * k)])
     top = Topology.from_atoms(atoms)
     top.assign_resindex()
     st = State(coords=np.asarray(coords, np.float32),
@@ -383,6 +387,8 @@ tails = ["C1-C2-C3-C4"]
         memb = Membrane(system, toml)
         memb.add_ids_to_group("all", range(len(memb.lipids)))
         dev = MembraneDevice(memb)
+        global _LAST_MEMBRANE
+        _LAST_MEMBRANE = (dev, frames)
         wins = [
             np.stack([c[dev.subset] for c in frames[s : s + window]])
             for s in range(0, n_frames, window)
@@ -422,6 +428,82 @@ tails = ["C1-C2-C3-C4"]
         memb.compute()
     memb.finalize()
     return n_frames, time.perf_counter() - t0
+
+
+_LAST_MEMBRANE = None  # (MembraneDevice, frames) of the last device run
+
+
+def _write_membrane_native(dev, frames, path):
+    """Sidecar for benchmarks/native_membrane.cpp: the device pipeline's
+    static structure (single-species membranes) + the exact frames."""
+    import struct
+
+    sp = dev.species_names[0]
+    tails = dev._sp_tails[sp]
+    tl, orders = tails[0]
+    with open(path, "wb") as f:
+        def i32(v):
+            f.write(struct.pack("<i", int(v)))
+
+        def ivec(a):
+            a = np.ascontiguousarray(a, np.int32)
+            i32(a.size)
+            f.write(a.tobytes())
+
+        i32(0x4D454D42)
+        n_atoms = len(dev.subset)
+        i32(n_atoms)
+        i32(dev.n_lipids)
+        i32(len(frames))
+        ivec(dev._first)
+        ivec(dev._atom_first)
+        f.write(np.ascontiguousarray(dev._masses, np.float32).tobytes())
+        for idx, seg in (dev._head, dev._mid, dev._tail):
+            ivec(idx)
+            ivec(seg)
+        i32(tl.shape[1])
+        ivec(tl)
+        ivec(np.asarray(orders))
+        opt = dev.options
+        box = np.diag(
+            np.asarray(dev.membrane.system.state.require_box().matrix)
+        )
+        code = {"sz": 0, "scd": 1, "scdcorr": 2}[opt.order_type]
+        f.write(
+            np.asarray(
+                [opt.cutoff, box[0], box[1], box[2],
+                 opt.max_smooth_iter, opt.n_shells_smoothing, code],
+                np.float32,
+            ).tobytes()
+        )
+        w = np.stack([c[dev.subset] for c in frames]).astype(np.float32)
+        f.write(np.ascontiguousarray(w).tobytes())
+
+
+def run_native_membrane(dev, frames):
+    """Build + run the single-core native membrane denominator on the same
+    frames; returns the parsed JSON result dict (or None without g++)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "native_membrane.cpp")
+    cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "molar_tpu",
+    )
+    os.makedirs(cache, exist_ok=True)
+    exe = os.path.join(cache, "native_membrane")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(["g++", "-O3", "-std=c++17", src, "-o", exe],
+                       check=True, capture_output=True)
+    path = os.path.join(tempfile.mkdtemp(prefix="memb_nat_"), "memb.bin")
+    _write_membrane_native(dev, frames, path)
+    out = subprocess.run([exe, path], check=True, capture_output=True,
+                         text=True)
+    return json.loads(out.stdout)
 
 
 def _write_native_meta(system, path):
@@ -519,7 +601,8 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
-                             "sasa", "membrane", "membrane_dev", "trjconv"])
+                             "sasa", "membrane", "membrane_dev", "membrane_large",
+                             "trjconv"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (the axon TPU plugin "
                     "ignores JAX_PLATFORMS)")
@@ -566,6 +649,12 @@ def main() -> int:
         "membrane_dev": lambda: wl_membrane(
             n_frames=64, device=True, window=16
         ),
+        # scale row: 4608 lipids — where the batched device pipeline
+        # separates from scalar per-lipid loops (72 lipids are host-scale,
+        # like the 265-atom align workload; perf_notes comparison table)
+        "membrane_large": lambda: wl_membrane(
+            n_frames=32, device=True, window=8, nx=48, ny=48
+        ),
         "trjconv": lambda: wl_trjconv(system, xtc),
     }
     out = {}
@@ -596,6 +685,22 @@ def main() -> int:
                 out[dev_name]["vs_native"] = (
                     round(dev_fps / r["fps"], 2) if dev_fps else None
                 )
+        # Membrane denominator runs on the exact frames the device row saw.
+        if _LAST_MEMBRANE is not None:
+            try:
+                r = run_native_membrane(*_LAST_MEMBRANE)
+            except Exception as e:
+                print(f"# native membrane failed: {e}", file=sys.stderr)
+                r = None
+            if r:
+                nat["membrane"] = r
+                for row in ("membrane", "membrane_dev"):
+                    if row in out:
+                        out[row]["native_fps"] = round(r["fps"], 2)
+                        if out[row]["fps"]:
+                            out[row]["vs_native"] = round(
+                                out[row]["fps"] / r["fps"], 2
+                            )
         if nat:
             print(json.dumps({"native_1core": {
                 k: round(v["fps"], 2) for k, v in nat.items()}}), flush=True)

@@ -10,6 +10,12 @@ so a 16-frame window costs one device dispatch (SURVEY §7: "batched quadric
 fits are very TPU-friendly"; reference loop: molar_membrane/src/lib.rs:661-760
 rayon par_iter over lipids, re-expressed as lipid-axis arrays under jit).
 
+Scale note: patches are a top-K padded (L, K) structure (K sized from the
+build-time frame, overflow flagged) so every per-lipid stage is O(L*K), not
+O(L^2) — a 5k-lipid membrane runs the same program. Only the patch-detection
+distance matrix and the optional curvature-smoothing shell expansion touch
+(L, L); both are elementwise/matmul forms that XLA handles at that size.
+
 Numerics: the device path computes in f32 (matching the reference's Float
 build; molar_membrane works in f32 throughout), while the host path keeps
 numpy f64 — parity tests hold to ~1e-4..1e-3 relative, not bitwise. All
@@ -25,7 +31,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.pbc import mat3_apply
 from .membrane import LipidGroup, Membrane, MembraneError
 
 _VORO_TOL = 1e-6  # f32 analogue of the host clip's 1e-10 (f64)
@@ -37,7 +42,7 @@ _VORO_BOUND = 10.0
 # ---------------------------------------------------------------------------
 
 
-def _unit(v, eps=0.0):
+def _unit(v):
     import jax.numpy as jnp
 
     n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
@@ -74,14 +79,12 @@ def _solve6_cholesky(M, rhs):
                 Lc[i][j] = jnp.sqrt(jnp.where(s > 0, s, 1.0))
             else:
                 Lc[i][j] = s / Lc[j][j]
-    # forward substitution L y = rhs
     y = [None] * n
     for i in range(n):
         s = rhs[:, i]
         for k in range(i):
             s = s - Lc[i][k] * y[k]
         y[i] = s / Lc[i][i]
-    # back substitution L^T x = y
     x = [None] * n
     for i in reversed(range(n)):
         s = y[i]
@@ -94,17 +97,17 @@ def _solve6_cholesky(M, rhs):
 def _voronoi_batch(points, pmask):
     """jnp port of :func:`molar_tpu.ops.voronoi.voronoi_cells_batch`.
 
-    ``points`` (L, P, 2), ``pmask`` (L, P); neighbor id of cut k is k
-    itself (the caller indexes cuts by lipid id). Returns
-    (verts (L, V, 2), edge_ids (L, V) int32, counts (L,) int32) with
-    V = 4 + P + 1. Same Sutherland-Hodgman expression sequence as the host
-    loop, under lax.fori_loop (one compiled body for all P cuts).
+    ``points`` (L, K, 2), ``pmask`` (L, K); the edge id of cut k is the SLOT
+    index k (the caller translates slots to lipid ids through its patch-id
+    table). Returns (verts (L, V, 2), edge_ids (L, V) int32, counts (L,)
+    int32) with V = 4 + K + 1. Same Sutherland-Hodgman expression sequence
+    as the host loop, under lax.fori_loop (one compiled body for all cuts).
     """
     import jax
     import jax.numpy as jnp
 
-    L, P = pmask.shape
-    V = 4 + P + 1
+    L, K = pmask.shape
+    V = 4 + K + 1
     b = _VORO_BOUND
     verts0 = jnp.zeros((L, V, 2), jnp.float32)
     verts0 = verts0.at[:, 0].set(jnp.array([-b, -b]))
@@ -148,7 +151,6 @@ def _voronoi_batch(points, pmask):
         vx_s = jnp.stack([ax, ix], axis=2).reshape(L, 2 * V)
         vy_s = jnp.stack([ay, iy], axis=2).reshape(L, 2 * V)
         id_s = jnp.stack([eids, x_id], axis=2).reshape(L, 2 * V)
-        # scatter emitted slots to their exclusive-prefix positions
         rows = jnp.broadcast_to(jnp.arange(L)[:, None], (L, 2 * V))
         flat = jnp.where(emit, rows * V + pos, L * V)  # L*V = dropped
         nvx = jnp.zeros(L * V + 1, jnp.float32).at[flat.ravel()].set(
@@ -166,7 +168,7 @@ def _voronoi_batch(points, pmask):
         counts = jnp.where(change, jnp.minimum(new_counts, V), counts)
         return verts, eids, counts
 
-    return jax.lax.fori_loop(0, P, body, (verts0, eids0, counts0))
+    return jax.lax.fori_loop(0, K, body, (verts0, eids0, counts0))
 
 
 def _order_batch(order_type, coords, normals, bond_orders):
@@ -251,13 +253,18 @@ def _order_batch(order_type, coords, normals, bond_orders):
 
 class MembraneDevice:
     """Window-batched device execution of a :class:`Membrane`'s per-frame
-    pipeline. Build once per Membrane; call :meth:`compute_window` with
-    frame windows, then :meth:`accumulate` to fold results into the host
-    Membrane's group statistics (same Welford accumulators, so
-    ``merge_stats_from`` and ``save`` keep working).
+    pipeline. Build once per Membrane (after groups are set); call
+    :meth:`compute_window` with frame windows, then :meth:`accumulate` to
+    fold results into the host Membrane's group statistics (same Welford
+    accumulators, so ``merge_stats_from`` and ``save`` keep working).
+
+    ``patch_cap``: static per-lipid patch capacity K. Default: 1.25x the
+    build-time frame's max patch count, rounded up to 8. A frame whose
+    patch counts exceed K sets the ``overflow`` output flag — rebuild with
+    a larger cap (same tier pattern as the neighbor-search caps).
     """
 
-    def __init__(self, membrane: Membrane):
+    def __init__(self, membrane: Membrane, patch_cap: int | None = None):
         import jax
 
         m = membrane
@@ -329,7 +336,39 @@ class MembraneDevice:
             np.int32,
         )
 
+        if patch_cap is None:
+            patch_cap = self._estimate_patch_cap()
+        self.patch_cap = int(patch_cap)
         self._window_fn = jax.jit(self._build_window_fn())
+
+    def _estimate_patch_cap(self) -> int:
+        """Max patch count on the build-time frame, x1.25, rounded to 8."""
+        box = self.membrane.system.state.require_box()
+        coords = self.membrane.system.state.coords
+        ext = np.diag(np.asarray(box.matrix, np.float64))
+        # head markers from the current frame (unwrap + mass-weighted mean)
+        idx, seg = self._head
+        sub = coords[self.subset].astype(np.float64)
+        ref = sub[self._atom_first]
+        d = sub - ref
+        d -= ext * np.round(d / ext)
+        u = ref + d
+        w = self._masses[idx].astype(np.float64)
+        L = self.n_lipids
+        wsum = np.bincount(seg, weights=w, minlength=L)
+        heads = np.stack(
+            [
+                np.bincount(seg, weights=w * u[idx, k], minlength=L)
+                for k in range(3)
+            ],
+            axis=-1,
+        ) / wsum[:, None]
+        dm = heads[:, None, :] - heads[None, :, :]
+        dm -= ext * np.round(dm / ext)
+        adj = (dm * dm).sum(-1) <= self.options.cutoff**2
+        np.fill_diagonal(adj, False)
+        kmax = int(adj.sum(1).max(initial=0))
+        return max((int(kmax * 1.25) + 7) // 8 * 8, 8)
 
     # -- traced pipeline ----------------------------------------------------
 
@@ -339,8 +378,8 @@ class MembraneDevice:
 
         opt = self.options
         L = self.n_lipids
+        K = self.patch_cap
         cutoff2 = np.float32(opt.cutoff**2)
-        first = jnp.asarray(self._first)
         atom_first = jnp.asarray(self._atom_first)
         masses = jnp.asarray(self._masses)
         head_i, head_s = map(jnp.asarray, self._head)
@@ -351,7 +390,6 @@ class MembraneDevice:
             if opt.global_normal is None
             else jnp.asarray(opt.global_normal, jnp.float32)
         )
-        eyeL = jnp.eye(L, dtype=bool)
         hp = jax.lax.Precision.HIGHEST
 
         def seg_com(u, idx, seg):
@@ -365,43 +403,33 @@ class MembraneDevice:
             return jnp.stack(out, axis=-1) / wsum[:, None]
 
         def gather_rows(u, idx):
-            # per-component 1-D gathers (CLAUDE.md: (n,3) row gathers are a
+            # per-component gathers (CLAUDE.md: (n,3) row gathers are a
             # compile-time trap; componentwise is fast and fuses)
-            return jnp.stack([u[:, 0][idx], u[:, 1][idx], u[:, 2][idx]], -1)
+            return jnp.stack([u[..., 0][idx], u[..., 1][idx], u[..., 2][idx]], -1)
 
-        def masked_sum(mask, x):
-            # sum_j mask[l, j] * x[l, j, ...] without 0*NaN poisoning
-            return jnp.sum(
-                jnp.where(mask[..., None], x, 0.0), axis=1
-            )
-
-        def smooth_pass(markers, normals, adj, valid, ext):
-            """One _smooth() pass (membrane.py:654-811), lipid-axis batched.
+        def smooth_pass(markers, normals, pid, pmask, valid, ext):
+            """One _smooth() pass (membrane.py:654-811), lipid-axis batched
+            over the padded (L, K) patch table.
 
             Invalid NEIGHBORS deliberately stay in the fits and clips
             (matching the host's pmask semantics: only OWN validity gates).
             """
-            counts = jnp.sum(adj, axis=1)
-            valid = valid & (counts > 0)
+            valid = valid & jnp.any(pmask, axis=1)
 
             # local frames: columns (n x ex), (n x (n x ex)), -n
             ex = jnp.array([1.0, 0.0, 0.0], jnp.float32)
             c0 = jnp.cross(normals, ex)
             c1 = jnp.cross(normals, c0)
             to_lab = jnp.stack([c0, c1, -normals], axis=2)  # (L,3,3) columns
+            A = to_lab
             det = (
-                to_lab[:, 0, 0]
-                * (to_lab[:, 1, 1] * to_lab[:, 2, 2] - to_lab[:, 1, 2] * to_lab[:, 2, 1])
-                - to_lab[:, 0, 1]
-                * (to_lab[:, 1, 0] * to_lab[:, 2, 2] - to_lab[:, 1, 2] * to_lab[:, 2, 0])
-                + to_lab[:, 0, 2]
-                * (to_lab[:, 1, 0] * to_lab[:, 2, 1] - to_lab[:, 1, 1] * to_lab[:, 2, 0])
+                A[:, 0, 0] * (A[:, 1, 1] * A[:, 2, 2] - A[:, 1, 2] * A[:, 2, 1])
+                - A[:, 0, 1] * (A[:, 1, 0] * A[:, 2, 2] - A[:, 1, 2] * A[:, 2, 0])
+                + A[:, 0, 2] * (A[:, 1, 0] * A[:, 2, 1] - A[:, 1, 1] * A[:, 2, 0])
             )
             sing = ~jnp.isfinite(det) | (jnp.abs(det) < 1e-12)
             valid = valid & ~sing
             safed = jnp.where(sing, 1.0, det)
-            A = to_lab
-            # adjugate / det inverse (closed form, VPU)
             inv = jnp.stack(
                 [
                     jnp.stack(
@@ -433,18 +461,19 @@ class MembraneDevice:
             ) / safed[:, None, None]
 
             # min-image displacements to every patch member, local coords
-            rel = _min_image_ortho(markers[None, :, :] - markers[:, None, :], ext)
-            local = jnp.einsum("lij,lpj->lpi", inv, rel, precision=hp)
+            mpk = gather_rows(markers, pid)  # (L, K, 3)
+            rel = _min_image_ortho(mpk - markers[:, None, :], ext)
+            local = jnp.einsum("lij,lkj->lki", inv, rel, precision=hp)
             x, y, z = local[..., 0], local[..., 1], local[..., 2]
 
             # quadric z = Ax^2+By^2+Cxy+Dx+Ey+F, masked normal equations
             Pm = jnp.stack([x * x, y * y, x * y, x, y, jnp.ones_like(x)], -1)
-            Pm = jnp.where(adj[..., None], Pm, 0.0)
-            zm = jnp.where(adj, z, 0.0)
+            Pm = jnp.where(pmask[..., None], Pm, 0.0)
+            zm = jnp.where(pmask, z, 0.0)
             zm = jnp.where(jnp.isfinite(zm), zm, 0.0)
             Pm = jnp.where(jnp.isfinite(Pm), Pm, 0.0)
-            M = jnp.einsum("lpi,lpj->lij", Pm, Pm, precision=hp)
-            rhs = jnp.einsum("lpi,lp->li", Pm, zm, precision=hp)
+            M = jnp.einsum("lki,lkj->lij", Pm, Pm, precision=hp)
+            rhs = jnp.einsum("lki,lk->li", Pm, zm, precision=hp)
             M = jnp.where(valid[:, None, None], M, jnp.eye(6, dtype=M.dtype))
             coefs, pd = _solve6_cholesky(M, rhs)
             valid = valid & pd
@@ -470,27 +499,22 @@ class MembraneDevice:
                 + e[:, None] * y
                 + f[:, None]
             )
-            fit_pts = markers[None, :, :] + (zs - z)[..., None] * to_lab[:, None, :, 2]
+            fit_pts = mpk + (zs - z)[..., None] * to_lab[:, None, :, 2]
 
-            # Voronoi cells in the local tangent plane
-            pts2 = jnp.where(adj[..., None], local[:, :, :2], 0.0)
+            # Voronoi cells in the local tangent plane (edge ids = slots)
+            pts2 = jnp.where(pmask[..., None], local[:, :, :2], 0.0)
             pts2 = jnp.where(jnp.isfinite(pts2), pts2, 0.0)
-            vb, ebids, cb = _voronoi_batch(pts2, adj & valid[:, None])
+            vb, ebids, cb = _voronoi_batch(pts2, pmask & valid[:, None])
             V = vb.shape[1]
             mvalid = jnp.arange(V)[None, :] < cb[:, None]
             wall = jnp.any(mvalid & (ebids < 0), axis=1)
             valid = valid & ~wall
 
-            # neighbor adjacency from surviving edges
-            rows = jnp.broadcast_to(jnp.arange(L)[:, None], (L, V))
-            tgt = jnp.where(
-                mvalid & (ebids >= 0), rows * L + ebids, L * L
-            )
-            neib = (
-                jnp.zeros(L * L + 1, bool)
-                .at[tgt.ravel()]
-                .set(True, mode="drop")[:-1]
-                .reshape(L, L)
+            # neighbor ids: translate surviving edge slots to lipid ids
+            nb_mask = mvalid & (ebids >= 0)
+            slot = jnp.where(nb_mask, ebids, 0)
+            nb_ids = jnp.where(
+                nb_mask, jnp.take_along_axis(pid, slot, axis=1), -1
             )
 
             # surface-lifted polygon, shoelace area (same per-edge order)
@@ -525,17 +549,41 @@ class MembraneDevice:
             new_markers = markers + f[:, None] * to_lab[:, :, 2]
 
             # marker smoothing: valid OWNERS scatter their fitted projection
-            # of member j back onto j (np.add.at analogue, transposed sum)
-            ok = valid[:, None] & adj  # (owner i, member j)
-            sm_n = 1.0 + jnp.sum(ok, axis=0)
-            sm_p = new_markers + jnp.sum(
-                jnp.where(ok[..., None], fit_pts, 0.0), axis=0
+            # of member j back onto j (np.add.at analogue)
+            ok = valid[:, None] & pmask  # (owner, slot)
+            tgt = jnp.where(ok, pid, L)  # L = dropped
+            flat = tgt.ravel()
+            sm_n = (
+                jnp.ones(L + 1, jnp.float32)
+                .at[flat]
+                .add(jnp.where(ok, 1.0, 0.0).ravel(), mode="drop")[:-1]
+            )
+            sm_p = new_markers + jnp.stack(
+                [
+                    jnp.zeros(L + 1, jnp.float32)
+                    .at[flat]
+                    .add(
+                        jnp.where(ok, fit_pts[..., dd], 0.0).ravel(),
+                        mode="drop",
+                    )[:-1]
+                    for dd in range(3)
+                ],
+                axis=-1,
             )
             # only valid lipids take the smoothed marker (host: for _valid())
             new_markers = jnp.where(
                 valid[:, None], sm_p / sm_n[:, None], new_markers
             )
-            return new_markers, new_normals, valid, neib, meanc, gaussian, areas
+            return (
+                new_markers,
+                new_normals,
+                valid,
+                nb_ids,
+                nb_mask,
+                meanc,
+                gaussian,
+                areas,
+            )
 
         def per_frame(coords, ext):
             # 1. unwrap each lipid to its first atom's image
@@ -544,38 +592,45 @@ class MembraneDevice:
 
             # 2. markers
             heads = seg_com(u, head_i, head_s)
-            mids = seg_com(u, mid_i, mid_s)  # noqa: F841 (parity with host)
+            _mids = seg_com(u, mid_i, mid_s)  # noqa: F841 (host parity)
             tails = seg_com(u, tail_i, tail_s)
 
-            # 3. patches: head-marker adjacency within cutoff (min image)
+            # 3. patches: head-marker adjacency within cutoff -> top-K table
             dm = _min_image_ortho(heads[None, :, :] - heads[:, None, :], ext)
-            adj = (jnp.sum(dm * dm, -1) <= cutoff2) & ~eyeL
+            d2 = jnp.sum(dm * dm, -1)
+            d2 = jnp.where(jnp.eye(L, dtype=bool), jnp.inf, d2)
+            adj = d2 <= cutoff2
+            n_patch = jnp.sum(adj, axis=1)
+            overflow = jnp.any(n_patch > K)
+            negd, pid = jax.lax.top_k(-jnp.where(adj, d2, jnp.inf), K)
+            pmask = jnp.isfinite(negd)
+            pid = jnp.where(pmask, pid, 0).astype(jnp.int32)
 
-            # 4. tail-head vectors + 2-pass normal seeding
+            # 4. tail-head vectors + 2-pass normal seeding over the patch
             thv = _unit(heads - tails)
             vecs = thv
             for _ in range(2):
-                cos = jnp.sum(vecs[:, None, :] * vecs[None, :, :], axis=-1)
-                keep = adj & (cos >= 0)
-                acc = vecs + masked_sum(
-                    keep, jnp.broadcast_to(vecs[None, :, :], (L, L, 3))
-                )
+                vk = gather_rows(vecs, pid)  # (L, K, 3)
+                cos = jnp.sum(vecs[:, None, :] * vk, axis=-1)
+                keep = pmask & (cos >= 0)
+                acc = vecs + jnp.sum(jnp.where(keep[..., None], vk, 0.0), axis=1)
                 vecs = _unit(acc)
             normals = vecs
 
             valid = jnp.ones(L, bool)
             markers = heads
             for _ in range(max(opt.max_smooth_iter, 1)):
-                markers, normals, valid, neib, meanc, gaussc, areas = smooth_pass(
-                    markers, normals, adj, valid, ext
-                )
+                (markers, normals, valid, nb_ids, nb_mask, meanc, gaussc,
+                 areas) = smooth_pass(markers, normals, pid, pmask, valid, ext)
 
             # 5. order parameters per species/tail (on unwrapped coords)
             order = {}
             for sp in self.species_names:
                 lids = jnp.asarray(self._sp_lipids[sp])
                 if gn is not None:
-                    nrm = jnp.broadcast_to(gn[None, :], (len(self._sp_lipids[sp]), 3))
+                    nrm = jnp.broadcast_to(
+                        gn[None, :], (len(self._sp_lipids[sp]), 3)
+                    )
                 else:
                     nrm = gather_rows(normals, lids)
                 tvals = []
@@ -583,19 +638,31 @@ class MembraneDevice:
                     tc = jnp.stack(
                         [u[:, 0][tl], u[:, 1][tl], u[:, 2][tl]], -1
                     )
-                    tvals.append(
-                        _order_batch(opt.order_type, tc, nrm, orders)
-                    )
+                    tvals.append(_order_batch(opt.order_type, tc, nrm, orders))
                 order[sp] = tvals
 
             # 6. curvature smoothing over n shells of the Voronoi graph
             ns = opt.n_shells_smoothing
             if ns >= 1:
-                reach = neib
+                # densify the neighbor graph, then matmul-expand the shells
+                tgt = jnp.where(nb_mask, nb_ids, L)
+                rows = jnp.broadcast_to(
+                    jnp.arange(L)[:, None], nb_ids.shape
+                )
+                flat = jnp.where(nb_mask, rows * L + tgt, L * L)
+                neib_d = (
+                    jnp.zeros(L * L + 1, jnp.float32)
+                    .at[flat.ravel()]
+                    .set(1.0, mode="drop")[:-1]
+                    .reshape(L, L)
+                )
+                reach = neib_d
                 for _ in range(ns - 1):
-                    grow = jnp.any(reach[:, :, None] & neib[None, :, :], axis=1)
-                    reach = reach | grow
-                wm = reach & valid[None, :]
+                    grown = jnp.einsum(
+                        "ij,jk->ik", reach, neib_d, precision=hp
+                    )
+                    reach = jnp.maximum(reach, jnp.minimum(grown, 1.0))
+                wm = (reach > 0) & valid[None, :]
                 cnt = jnp.sum(wm, axis=1)
                 msum = jnp.sum(jnp.where(wm, meanc[None, :], 0.0), axis=1)
                 gsum = jnp.sum(jnp.where(wm, gaussc[None, :], 0.0), axis=1)
@@ -605,19 +672,19 @@ class MembraneDevice:
 
             return {
                 "valid": valid,
+                "overflow": overflow,
                 "area": areas,
                 "mean_curv": meanc,
                 "gauss_curv": gaussc,
                 "normal": normals,
                 "thv": thv,
-                "n_neighbors": jnp.sum(neib, axis=1),
-                "neib": neib,
+                "n_neighbors": jnp.sum(nb_mask, axis=1),
+                "nb_ids": nb_ids,
+                "nb_mask": nb_mask,
                 "order": order,
             }
 
         def window_fn(coords, exts):
-            import jax
-
             def step(carry, fr):
                 c, e = fr
                 return carry, per_frame(c, e)
@@ -634,7 +701,9 @@ class MembraneDevice:
         ``coords``: (B, n_subset_atoms, 3) f32 (rows per :attr:`subset`) or
         any transport tuple from ``iter_windows(subset=...)``;
         ``boxes``: (B, 3, 3) (None = the system's current box for every
-        frame). Returns the per-frame output pytree as numpy arrays.
+        frame). Returns the per-frame output pytree as numpy arrays. A True
+        ``overflow`` entry means a frame exceeded the patch capacity —
+        rebuild with a larger ``patch_cap``.
         """
         import jax
         import jax.numpy as jnp
@@ -656,6 +725,11 @@ class MembraneDevice:
     def accumulate(self, outs) -> None:
         """Fold a window's outputs into the Membrane's group statistics
         (the array form of LipidGroup.frame_update, same Welford streams)."""
+        if bool(np.any(outs["overflow"])):
+            raise MembraneError(
+                f"patch capacity {self.patch_cap} overflowed; rebuild "
+                "MembraneDevice with a larger patch_cap"
+            )
         m = self.membrane
         B = outs["valid"].shape[0]
         for fr in range(B):
@@ -665,13 +739,14 @@ class MembraneDevice:
                 self._group_update(gr, fr, outs, valid, tilt)
 
     def _group_update(self, gr: LipidGroup, fr, outs, valid, tilt):
-        in_group = np.zeros(self.n_lipids, bool)
+        in_group = np.zeros(self.n_lipids + 1, bool)
         in_group[list(gr.lipid_ids)] = True
-        neib = outs["neib"][fr]
+        nb_ids = outs["nb_ids"][fr]
+        nb_mask = outs["nb_mask"][fr]
         for sp in gr.species_names:
             st = gr.per_species[sp]
             spm = self.species_of == self.species_names.index(sp)
-            sel = in_group & valid & spm
+            sel = in_group[:-1] & valid & spm
             idx = np.nonzero(sel)[0]
             st["count"].add(len(idx))
             if len(idx) == 0:
@@ -682,14 +757,16 @@ class MembraneDevice:
             st["gauss_curv"].add(float(np.mean(outs["gauss_curv"][fr][idx])))
             st["n_neighbors"].add(float(np.mean(outs["n_neighbors"][fr][idx])))
             # neighbor species fractions (neighbors restricted to the group)
-            nb = neib[idx] & in_group[None, :]
-            total = int(nb.sum())
+            ids = nb_ids[idx]
+            ok = nb_mask[idx] & in_group[np.where(ids >= 0, ids, -1)] & (ids >= 0)
+            total = int(ok.sum())
             if total:
+                nsp = self.species_of[np.where(ids >= 0, ids, 0)]
                 for s in gr.species_names:
-                    cnt = int(
-                        nb[:, self.species_of == self.species_names.index(s)].sum()
+                    scode = self.species_names.index(s)
+                    st["neib_fractions"][s].add(
+                        int((ok & (nsp == scode)).sum()) / total
                     )
-                    st["neib_fractions"][s].add(cnt / total)
             # order profiles: mean over the group's valid lipids of the species
             sp_l = self._sp_lipids[sp]
             rows = np.nonzero(sel[sp_l])[0]
@@ -698,9 +775,7 @@ class MembraneDevice:
                 from .membrane import _RunningStats
 
                 if st["order"] is None:
-                    st["order"] = [
-                        _RunningStats((t.shape[-1],)) for t in tails
-                    ]
+                    st["order"] = [_RunningStats((t.shape[-1],)) for t in tails]
                 for k, t in enumerate(tails):
                     st["order"][k].add(np.mean(t[fr][rows], axis=0))
 

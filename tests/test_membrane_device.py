@@ -18,6 +18,11 @@ from molar_tpu.membrane.device import MembraneDevice
 
 
 def make_bilayer(nx=5, ny=5, bend=0.15, seed=0):
+    # Head planes 3.0 nm apart (> the 2.0 nm patch cutoff): patches stay
+    # in-leaflet. A closer spacing puts opposite-leaflet heads inside the
+    # cutoff and the |f|>0.5 fit sanity check correctly invalidates every
+    # lipid (empty stats) — the original round-3 workload geometry had
+    # exactly that bug.
     spacing, z_mid = 0.8, 3.0
     atoms, coords = [], []
     rid = 0
@@ -31,7 +36,7 @@ def make_bilayer(nx=5, ny=5, bend=0.15, seed=0):
                 for k, nm in enumerate(["P", "G", "C1", "C2", "C3", "C4"]):
                     atoms.append(Atom(name=nm, resname="LIP", resid=rid,
                                       atomic_number=6, mass=12.0))
-                    coords.append([x, y, z_mid + zb + zdir * (0.9 - 0.25 * k)])
+                    coords.append([x, y, z_mid + zb + zdir * (1.5 - 0.3 * k)])
     top = Topology.from_atoms(atoms)
     top.assign_resindex()
     st = State(
@@ -114,7 +119,8 @@ def test_device_matches_host_per_lipid(tmp_path):
         np.testing.assert_array_equal(outs["n_neighbors"][fr][v],
                                       h["nneib"][v])
         for i in np.nonzero(v)[0]:
-            assert sorted(np.nonzero(outs["neib"][fr][i])[0]) == h["neib"][i]
+            ids = outs["nb_ids"][fr][i][outs["nb_mask"][fr][i]]
+            assert sorted(ids) == h["neib"][i]
 
 
 def test_device_matches_host_order(tmp_path):
