@@ -321,7 +321,8 @@ def wl_trjconv(system, xtc):
     return n, time.perf_counter() - t0
 
 
-def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6):
+def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6,
+                stash_key=None):
     # tiny flat bilayer, host pipeline (frames shard across chips via the
     # frame mesh in multi-chip deployments; single-process here).
     # ``shards > 1`` runs the multi-chip execution shape in-process: the
@@ -387,8 +388,7 @@ tails = ["C1-C2-C3-C4"]
         memb = Membrane(system, toml)
         memb.add_ids_to_group("all", range(len(memb.lipids)))
         dev = MembraneDevice(memb)
-        global _LAST_MEMBRANE
-        _LAST_MEMBRANE = (dev, frames)
+        _MEMBRANE_RUNS[stash_key or "membrane_dev"] = (dev, frames)
         wins = [
             np.stack([c[dev.subset] for c in frames[s : s + window]])
             for s in range(0, n_frames, window)
@@ -430,7 +430,7 @@ tails = ["C1-C2-C3-C4"]
     return n_frames, time.perf_counter() - t0
 
 
-_LAST_MEMBRANE = None  # (MembraneDevice, frames) of the last device run
+_MEMBRANE_RUNS = {}  # row name -> (MembraneDevice, frames) of device runs
 
 
 def _write_membrane_native(dev, frames, path):
@@ -647,13 +647,14 @@ def main() -> int:
         "sasa": lambda: wl_sasa(system, xtc, args.window),
         "membrane": lambda: wl_membrane(shards=args.mesh),
         "membrane_dev": lambda: wl_membrane(
-            n_frames=64, device=True, window=16
+            n_frames=64, device=True, window=16, stash_key="membrane_dev"
         ),
         # scale row: 4608 lipids — where the batched device pipeline
         # separates from scalar per-lipid loops (72 lipids are host-scale,
         # like the 265-atom align workload; perf_notes comparison table)
         "membrane_large": lambda: wl_membrane(
-            n_frames=32, device=True, window=8, nx=48, ny=48
+            n_frames=32, device=True, window=8, nx=48, ny=48,
+            stash_key="membrane_large",
         ),
         "trjconv": lambda: wl_trjconv(system, xtc),
     }
@@ -685,22 +686,26 @@ def main() -> int:
                 out[dev_name]["vs_native"] = (
                     round(dev_fps / r["fps"], 2) if dev_fps else None
                 )
-        # Membrane denominator runs on the exact frames the device row saw.
-        if _LAST_MEMBRANE is not None:
+        # Membrane denominators run on the exact frames each device row saw
+        # (membrane_dev's 72-lipid frames also stand in for the host
+        # "membrane" row — same construction, same per-frame work).
+        for key, stash in _MEMBRANE_RUNS.items():
             try:
-                r = run_native_membrane(*_LAST_MEMBRANE)
+                r = run_native_membrane(*stash)
             except Exception as e:
                 print(f"# native membrane failed: {e}", file=sys.stderr)
-                r = None
-            if r:
-                nat["membrane"] = r
-                for row in ("membrane", "membrane_dev"):
-                    if row in out:
-                        out[row]["native_fps"] = round(r["fps"], 2)
-                        if out[row]["fps"]:
-                            out[row]["vs_native"] = round(
-                                out[row]["fps"] / r["fps"], 2
-                            )
+                continue
+            if not r:
+                continue
+            nat["native_" + key] = r
+            rows = (key, "membrane") if key == "membrane_dev" else (key,)
+            for row in rows:
+                if row in out:
+                    out[row]["native_fps"] = round(r["fps"], 2)
+                    if out[row]["fps"]:
+                        out[row]["vs_native"] = round(
+                            out[row]["fps"] / r["fps"], 2
+                        )
         if nat:
             print(json.dumps({"native_1core": {
                 k: round(v["fps"], 2) for k, v in nat.items()}}), flush=True)

@@ -171,6 +171,116 @@ def _voronoi_batch(points, pmask):
     return jax.lax.fori_loop(0, K, body, (verts0, eids0, counts0))
 
 
+def _voronoi_planes(points, pmask):
+    """Scatter-free Voronoi cell geometry via candidate vertices.
+
+    The sequential Sutherland-Hodgman clip (:func:`_voronoi_batch`) costs 3
+    TPU scatters per cut per frame — measured ~0.5 s per 16-frame window at
+    72 lipids. This formulation is pure reductions: the cell of the origin
+    is the intersection of P = K+4 half-planes (K bisectors + the bounding
+    box), its vertices are plane-pair intersections that satisfy every
+    other half-plane, and each surviving plane contributes one edge whose
+    endpoints are the extreme on-plane vertices. No fori_loop, no scatter,
+    no gather.
+
+    ``points`` (L, K, 2) bisector targets, ``pmask`` (L, K). Returns:
+      has_edge (L, K) — bisector k owns an edge of the final cell
+      wall     (L,)   — a bounding-box side owns an edge (host: invalid)
+      e1, e2   (L, K+4, 2) — edge endpoints per plane (undefined where no
+                edge; box-side endpoints included for completeness)
+      edge_ok  (L, K+4) — which planes own an edge at all
+
+    Geometry identical to the clip up to fp tolerance; the area fan
+    (triangles apex-origin per edge) reproduces the host polygon's
+    shoelace sum triangle-for-triangle.
+    """
+    import jax.numpy as jnp
+
+    L, K = pmask.shape
+    P = K + 4
+    b = _VORO_BOUND
+    eps = 1e-4  # f32 on-plane/containment tolerance (normalized planes)
+
+    # half-planes n.x <= c, normalized so eps is a geometric distance
+    nx = 0.5 * points[..., 0]
+    ny = 0.5 * points[..., 1]
+    c = nx * nx + ny * ny
+    active = pmask & (c >= _VORO_TOL)
+    norm = jnp.sqrt(c)
+    safe = jnp.where(norm == 0, 1.0, norm)
+    pn = jnp.stack(
+        [
+            jnp.concatenate([nx / safe, jnp.broadcast_to(
+                jnp.array([0.0, 1.0, 0.0, -1.0]), (L, 4))], axis=1),
+            jnp.concatenate([ny / safe, jnp.broadcast_to(
+                jnp.array([-1.0, 0.0, 1.0, 0.0]), (L, 4))], axis=1),
+        ],
+        axis=-1,
+    )  # (L, P, 2); box sides: -y<=b, x<=b, y<=b, -x<=b
+    pc = jnp.concatenate(
+        [norm, jnp.broadcast_to(jnp.array([b, b, b, b]), (L, 4))], axis=1
+    )
+    pact = jnp.concatenate(
+        [active, jnp.ones((L, 4), bool)], axis=1
+    )  # (L, P)
+
+    # candidate vertices: intersections of plane pairs i<j
+    iu, ju = np.triu_indices(P, k=1)  # static (M,) pair index arrays
+    n1 = pn[:, iu]  # (L, M, 2)
+    n2 = pn[:, ju]
+    c1 = pc[:, iu]
+    c2 = pc[:, ju]
+    det = n1[..., 0] * n2[..., 1] - n1[..., 1] * n2[..., 0]
+    par = jnp.abs(det) < 1e-12
+    sdet = jnp.where(par, 1.0, det)
+    vx = (c1 * n2[..., 1] - c2 * n1[..., 1]) / sdet
+    vy = (n1[..., 0] * c2 - n2[..., 0] * c1) / sdet
+    pair_ok = ~par & pact[:, iu] & pact[:, ju]
+
+    # vertex is real iff it satisfies every ACTIVE half-plane (<= c + eps)
+    d = (
+        pn[:, None, :, 0] * vx[:, :, None]
+        + pn[:, None, :, 1] * vy[:, :, None]
+        - pc[:, None, :]
+    )  # (L, M, P)
+    inside = jnp.all(jnp.where(pact[:, None, :], d <= eps, True), axis=2)
+    vert_ok = pair_ok & inside
+
+    # per plane: the on-plane vertices' extreme tangential coordinates.
+    # tangent direction t = (-n_y, n_x); on-plane membership comes from the
+    # static pair ids (exact, no epsilon fuzz).
+    M = len(iu)
+    on_np = np.zeros((M, P), bool)
+    on_np[np.arange(M), iu] = True
+    on_np[np.arange(M), ju] = True
+    on_plane = jnp.asarray(on_np)  # (M, P) static
+    member = vert_ok[:, :, None] & on_plane[None, :, :]  # (L, M, P)
+    t = (
+        -pn[:, None, :, 1] * vx[:, :, None]
+        + pn[:, None, :, 0] * vy[:, :, None]
+    )  # (L, M, P)
+    big = jnp.float32(1e30)
+    tmin = jnp.min(jnp.where(member, t, big), axis=1)
+    tmax = jnp.max(jnp.where(member, t, -big), axis=1)
+    edge_ok = pact & (tmax > tmin + 1e-7)  # degenerate/absent edges drop
+
+    # endpoint coordinates: x = c*n + t*(-n_y, n_x)
+    def endpoint(tt):
+        return jnp.stack(
+            [
+                pc * pn[..., 0] - tt * pn[..., 1],
+                pc * pn[..., 1] + tt * pn[..., 0],
+            ],
+            axis=-1,
+        )
+
+    e1 = endpoint(jnp.where(edge_ok, tmin, 0.0))
+    e2 = endpoint(jnp.where(edge_ok, tmax, 0.0))
+    has_edge = edge_ok[:, :K]
+    wall = jnp.any(edge_ok[:, K:], axis=1)
+    return has_edge, wall, e1, e2, edge_ok
+
+
 def _order_batch(order_type, coords, normals, bond_orders):
     """jnp port of measure_host.lipid_tail_order_batch (same expression
     sequence; the bond-order branch structure is static, so the position
@@ -501,47 +611,45 @@ class MembraneDevice:
             )
             fit_pts = mpk + (zs - z)[..., None] * to_lab[:, None, :, 2]
 
-            # Voronoi cells in the local tangent plane (edge ids = slots)
+            # Voronoi cells in the local tangent plane — candidate-vertex
+            # formulation (reductions only; the sequential clip's scatters
+            # measured ~0.5 s/window on TPU)
             pts2 = jnp.where(pmask[..., None], local[:, :, :2], 0.0)
             pts2 = jnp.where(jnp.isfinite(pts2), pts2, 0.0)
-            vb, ebids, cb = _voronoi_batch(pts2, pmask & valid[:, None])
-            V = vb.shape[1]
-            mvalid = jnp.arange(V)[None, :] < cb[:, None]
-            wall = jnp.any(mvalid & (ebids < 0), axis=1)
+            has_edge, wall, edge1, edge2, edge_ok = _voronoi_planes(
+                pts2, pmask & valid[:, None]
+            )
             valid = valid & ~wall
 
-            # neighbor ids: translate surviving edge slots to lipid ids
-            nb_mask = mvalid & (ebids >= 0)
-            slot = jnp.where(nb_mask, ebids, 0)
-            nb_ids = jnp.where(
-                nb_mask, jnp.take_along_axis(pid, slot, axis=1), -1
-            )
+            # neighbor ids: bisector planes owning an edge of the cell
+            nb_mask = has_edge
+            nb_ids = jnp.where(nb_mask, pid, -1)
 
-            # surface-lifted polygon, shoelace area (same per-edge order)
-            v2x, v2y = vb[:, :, 0], vb[:, :, 1]
-            zs_all = (
-                a[:, None] * v2x * v2x
-                + b[:, None] * v2y * v2y
-                + c[:, None] * v2x * v2y
-                + d[:, None] * v2x
-                + e[:, None] * v2y
-                + f[:, None]
-            )
-            voro = jnp.einsum(
-                "lij,lvj->lvi",
-                to_lab,
-                jnp.stack([v2x, v2y, zs_all], axis=-1),
-                precision=hp,
-            )
-            nxt_i = jnp.where(
-                jnp.arange(V)[None, :] + 1 < cb[:, None],
-                jnp.arange(V)[None, :] + 1,
-                0,
-            )
-            nxt = jnp.take_along_axis(voro, nxt_i[:, :, None], axis=1)
-            cr = jnp.cross(voro, nxt)
+            # area: one triangle (origin, e1, e2) per surviving edge on the
+            # lifted surface — the same triangle set as the host polygon fan
+            def lift(pt):  # (L, P, 2) -> lab-frame (L, P, 3)
+                px, py = pt[..., 0], pt[..., 1]
+                pz = (
+                    a[:, None] * px * px
+                    + b[:, None] * py * py
+                    + c[:, None] * px * py
+                    + d[:, None] * px
+                    + e[:, None] * py
+                    + f[:, None]
+                )
+                return jnp.einsum(
+                    "lij,lpj->lpi",
+                    to_lab,
+                    jnp.stack([px, py, pz], axis=-1),
+                    precision=hp,
+                )
+
+            v1 = lift(edge1)
+            v2 = lift(edge2)
+            cr = jnp.cross(v1, v2)
             areas = 0.5 * jnp.sum(
-                jnp.where(mvalid, jnp.sqrt(jnp.sum(cr * cr, -1)), 0.0), axis=1
+                jnp.where(edge_ok, jnp.sqrt(jnp.sum(cr * cr, -1)), 0.0),
+                axis=1,
             )
 
             runaway = jnp.abs(f) > 0.5
