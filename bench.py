@@ -155,6 +155,13 @@ def main() -> int:
                     help="skip the explicit per-window device_put; host "
                     "arrays ride the execute call (1 RPC instead of 2 per "
                     "window on serializing tunnels)")
+    ap.add_argument("--put-chunks", type=int, default=1, dest="put_chunks",
+                    help="ship each window's bulk coords as N separate "
+                    "device_put calls (frame-axis chunks, reassembled "
+                    "in-graph): decouples the put size (small puts dodge "
+                    "the tunnel's >~10 MB per-put cliff) from the execute "
+                    "window size (large windows amortize per-window "
+                    "dispatch)")
     ap.add_argument("--queue-depth", type=int, default=2, dest="queue_depth",
                     help="windows in flight (decode+put runs this many "
                     "windows ahead of compute; higher depths let all puts "
@@ -195,6 +202,7 @@ def main() -> int:
     from molar_tpu.ops import measure, measure_host, neighbor, neighbor_host
     from molar_tpu.tasks.trajectory import (
         TrajectoryReader,
+        _chunk_coords,
         decode_window_coords,
         run_with_overflow_retry,
     )
@@ -312,7 +320,10 @@ def main() -> int:
     if runner is not None:
         _ = jax.block_until_ready(runner.call(window_fn0, *first[:4]))
     else:
-        _ = jax.block_until_ready(window_fn0(*jax.device_put(first[:4])))
+        warm = first[:4]
+        if args.put_chunks > 1:
+            warm = (_chunk_coords(warm[0], args.put_chunks), *warm[1:])
+        _ = jax.block_until_ready(window_fn0(*jax.device_put(warm)))
     print("# compiled", file=sys.stderr)
 
     # Best-of-N timed passes: the tunnel's transfer bandwidth is shared and
@@ -346,6 +357,7 @@ def main() -> int:
                 overflow_of=lambda r: r[3], quantized=quant_mode,
                 mesh=mesh, queue_depth=args.queue_depth,
                 device_put=not args.no_put, ordered=args.ordered,
+                put_chunks=args.put_chunks,
             )
         elapsed = time.perf_counter() - t0
         n_done = sum(len(ids) for ids, _ in results)
@@ -359,7 +371,10 @@ def main() -> int:
 
     # Device-compute-only rate: the same window program on resident data
     # (no decode, no H2D) — separates chip capability from tunnel weather.
-    res_args = jax.device_put(first[:4])
+    res_win = first[:4]
+    if runner is None and args.put_chunks > 1:
+        res_win = (_chunk_coords(res_win[0], args.put_chunks), *res_win[1:])
+    res_args = jax.device_put(res_win)
     _ = jax.block_until_ready(window_fn0(*res_args))
     t0 = time.perf_counter()
     reps_c = 3

@@ -28,4 +28,4 @@ from .core import (
 from .core.system import Particle, Sel, SelectionError, System, distance_search
 from .selection import SelectionExpr, SelectionSyntaxError
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

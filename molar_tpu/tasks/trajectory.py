@@ -324,24 +324,61 @@ def decode_window_coords(coords):
     to the plain decode in all three cases (prefix sums of the deltas
     reconstruct the exact ints; every partial sum is a true coordinate
     difference, which fits i32 trivially).
+
+    Each form's bulk frame-axis array may also arrive as a TUPLE of
+    frame-axis chunks (``WindowPipeline(put_chunks=K)`` ships a window as K
+    separate host->device transfers to stay under the tunnel's per-put size
+    cliff — docs/perf_notes.md window table); the chunks are concatenated
+    in-graph, so the compiled program fuses the reassembly with the decode.
     """
     import jax.numpy as jnp
 
+    def _cat(x):
+        return jnp.concatenate(x, axis=0) if isinstance(x, tuple) else x
+
     if not isinstance(coords, tuple):
         return coords
+    # Chunked plain-f32 form: a tuple of (b,N,3) arrays (quantized forms
+    # always end in a rank-0 scale, so rank-3 last element is unambiguous).
+    if getattr(coords[-1], "ndim", None) == 3 and not isinstance(
+        coords[-1], tuple
+    ):
+        return _cat(coords)
     if len(coords) == 2:
         ic, scale = coords
-        return ic.astype(jnp.float32) * scale
+        return _cat(ic).astype(jnp.float32) * scale
     f0, d8, scale = coords
     ints = jnp.concatenate(
         [
             f0[None].astype(jnp.int32),
             f0[None].astype(jnp.int32)
-            + jnp.cumsum(d8.astype(jnp.int32), axis=0),
+            + jnp.cumsum(_cat(d8).astype(jnp.int32), axis=0),
         ],
         axis=0,
     )
     return ints.astype(jnp.float32) * scale
+
+
+def _chunk_coords(coords, k: int):
+    """Split a window transport's bulk frame-axis array into ``k`` chunks.
+
+    Returns the chunked transport form understood by
+    :func:`decode_window_coords`, with the big array replaced by a tuple of
+    contiguous frame-axis slices. Small leaves (frame0, scale) are left
+    whole. ``k`` is clamped to the frame-axis length.
+    """
+
+    def _split(a):
+        kk = max(1, min(k, a.shape[0]))
+        return tuple(np.array_split(a, kk, axis=0))
+
+    if not isinstance(coords, tuple):
+        return _split(coords)
+    if len(coords) == 2:
+        ic, scale = coords
+        return (_split(ic), scale)
+    f0, d8, scale = coords
+    return (f0, _split(d8), scale)
 
 
 class WindowPipeline:
@@ -375,6 +412,7 @@ class WindowPipeline:
         mesh=None,
         ordered: bool = False,
         subset: Optional[np.ndarray] = None,
+        put_chunks: int = 1,
     ):
         self.reader = reader
         self.window = window
@@ -386,6 +424,15 @@ class WindowPipeline:
         self.quantized = quantized
         self.ordered = ordered
         self.subset = subset
+        # put_chunks > 1 ships each window's bulk coords as that many
+        # SEPARATE device_put calls (frame-axis chunks): the tunnel's
+        # transfer collapse is per-put byte-count driven (>~10 MB puts lose
+        # badly — perf_notes window table), so a large execute window can
+        # keep its compute amortization while its wire bytes ride small
+        # puts. The jitted window_fn sees the chunked transport form and
+        # reassembles in-graph (decode_window_coords). Ignored in mesh mode
+        # (sharded windows are placed per-device by MeshWindowRunner).
+        self.put_chunks = put_chunks
         self.mesh = mesh
         if mesh is not None:
             from ..parallel.mesh import MeshWindowRunner
@@ -419,11 +466,27 @@ class WindowPipeline:
                         dev, b, form = runner.prepare(coords, boxes, invs, times)
                         q.put((dev, ids, (b, form)))
                         continue
+                    if self.put_chunks > 1:
+                        coords = _chunk_coords(coords, self.put_chunks)
                     if self.device_put:
-                        # One device_put for the whole window: each call can
-                        # cost a dispatch round-trip (severe on remote-tunnel
-                        # backends), so ship the tuple in a single transfer.
-                        dev = jax.device_put((coords, boxes, invs, times))
+                        if self.put_chunks > 1:
+                            # Separate put per bulk chunk (the whole point:
+                            # K small transfers instead of one big one);
+                            # the small leaves ride one extra put.
+                            dev = (
+                                jax.tree_util.tree_map(
+                                    jax.device_put, coords
+                                ),
+                                *jax.device_put((boxes, invs, times)),
+                            )
+                        else:
+                            # One device_put for the whole window: each call
+                            # can cost a dispatch round-trip (severe on
+                            # remote-tunnel backends), so ship the tuple in
+                            # a single transfer.
+                            dev = jax.device_put(
+                                (coords, boxes, invs, times)
+                            )
                     else:
                         dev = (coords, boxes, invs, times)
                     q.put((dev, ids, None))
@@ -538,6 +601,7 @@ def run_with_overflow_retry(
     queue_depth: int = 2,
     device_put: bool = True,
     ordered: bool = False,
+    put_chunks: int = 1,
 ):
     """Stream windows through tier-0's window_fn; re-run overflowed windows
     at higher capacity tiers (the fixed-capacity + retry contract,
@@ -575,7 +639,7 @@ def run_with_overflow_retry(
     pipeline = WindowPipeline(
         reader, window, fn0, quantized=quantized, n_threads=n_threads,
         mesh=mesh, queue_depth=queue_depth, device_put=device_put,
-        ordered=ordered,
+        ordered=ordered, put_chunks=put_chunks,
     )
     for ids, res in pipeline.run():
         results.append((ids, res))
@@ -615,6 +679,8 @@ def run_with_overflow_retry(
                     reader.paths, ids
                 )
                 rids = ids
+            if put_chunks > 1 and runner is None:
+                coords = _chunk_coords(coords, put_chunks)
             redo = (rids, call(fns[tier], coords, boxes, invs, times))
             if not bool(np.any(np.asarray(overflow_of(redo[1])))):
                 results[w] = redo

@@ -118,6 +118,32 @@ def test_window_pipeline_quantized_matches_plain(two_trajs):
     np.testing.assert_array_equal(collect(quantized="delta"), plain)
 
 
+def test_window_pipeline_put_chunks_matches_plain(two_trajs):
+    """put_chunks ships a window's bulk coords as several separate
+    transfers; the in-graph reassembly must be bit-identical to the
+    single-put decode in every transport form, including tail windows
+    shorter than the chunk count (chunk count clamps to the frame axis)."""
+    from molar_tpu.tasks.trajectory import decode_window_coords
+
+    @jax.jit
+    def window_fn(coords, boxes, invs, times):
+        return decode_window_coords(coords)
+
+    def collect(**kw):
+        out = []
+        for _, c in WindowPipeline(
+            TrajectoryReader(two_trajs), 5, window_fn, **kw
+        ).run():
+            out.append(np.asarray(c))
+        return np.concatenate(out)
+
+    plain = collect()
+    for quant in (False, True, "delta"):
+        np.testing.assert_array_equal(
+            collect(quantized=quant, put_chunks=3), plain
+        )
+
+
 def test_iter_windows_subset_matches_sliced_full(two_trajs):
     """Subset transport ships only the requested rows, bit-identical to
     slicing the full-frame windows, in every transport form (the delta form
