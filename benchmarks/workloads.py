@@ -94,6 +94,29 @@ def decode_window_coords(coords):
     return _d(coords)
 
 
+def _auto_window(xtc, subset, requested):
+    """Pick the execute window for a subset-transport stream.
+
+    ``requested`` > 0 wins. Otherwise: a dispatch through the tunnel costs
+    ~25 ms per window, while a subset window's delta wire is only ~3 bytes x
+    n_rows per frame — tiny selections at window 16 are DISPATCH-bound
+    (round-4 workload table: ca_rmsd ships 3.75 KB/frame and loses ~60% of
+    its throughput to per-window overhead). Grow the window until a put
+    approaches ~4 MB (the tunnel's per-put cliff sits below ~10 MB:
+    round-3 w64/w32/w16 A/B/A chain) or the trajectory ends, capped at 128
+    frames; headline-scale full-frame streams land back at w16."""
+    from molar_tpu.io.xtc import XtcHandler
+
+    if requested:
+        return requested
+    h = XtcHandler(xtc)
+    n_frames, n_atoms = h.n_frames, h.n_atoms
+    h.close()
+    rows = n_atoms if subset is None else len(subset)
+    w = 4_000_000 // max(1, 3 * rows) // 16 * 16
+    return int(min(n_frames, max(16, min(128, w))))
+
+
 def _timed_stream(fn, xtc, window, runner=None, subset=None):
     """Warm up (compile) every distinct window shape, then time a full pass.
 
@@ -103,10 +126,17 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
     multiple of ``window`` has a shorter trailing window — a second shape
     that must be warmed too, or its compile lands inside the clock.
 
+    ``window=0`` sizes the window automatically from the subset's wire
+    bytes (:func:`_auto_window`).
+
     ``runner``: a parallel.mesh.MeshWindowRunner shards each window's frame
     axis over the mesh (the --mesh flag; the workload fns' outputs are all
     per-frame, as mesh mode requires)."""
     import jax
+
+    if not window:
+        window = _auto_window(xtc, subset, window)
+        print(f"# auto window={window}", file=sys.stderr)
 
     def call(coords, boxes, invs, times):
         if runner is not None:
@@ -598,7 +628,11 @@ def main() -> int:
     ap.add_argument("--atoms", type=int, default=50_000)
     ap.add_argument("--protein", type=int, default=4_000)
     ap.add_argument("--frames", type=int, default=64)
-    ap.add_argument("--window", type=int, default=16)
+    ap.add_argument("--window", type=int, default=0,
+                    help="execute window (frames) for the streamed "
+                    "workloads; 0 = auto-size per workload from its subset "
+                    "wire bytes (dispatch-bound tiny selections get big "
+                    "windows, full-frame streams get 16)")
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
                              "sasa", "membrane", "membrane_dev", "membrane_large",
@@ -644,7 +678,10 @@ def main() -> int:
         "ca_rmsd": lambda: wl_ca_rmsd(system, xtc, args.window, runner),
         "com_splits": lambda: wl_com_splits(system, xtc, args.window, runner),
         "contacts": lambda: wl_contacts(system, xtc, args.window, runner),
-        "sasa": lambda: wl_sasa(system, xtc, args.window),
+        # sasa is compute-bound (~134 ms/frame) — dispatch overhead is
+        # noise there; keep the 16-frame window (auto-sizing would only
+        # grow the compile)
+        "sasa": lambda: wl_sasa(system, xtc, args.window or 16),
         "membrane": lambda: wl_membrane(shards=args.mesh),
         "membrane_dev": lambda: wl_membrane(
             n_frames=64, device=True, window=16, stash_key="membrane_dev"
