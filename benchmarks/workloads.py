@@ -134,6 +134,8 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
     per-frame, as mesh mode requires)."""
     import jax
 
+    from molar_tpu.tasks.trajectory import TrajectoryReader, WindowPipeline
+
     if not window:
         window = _auto_window(xtc, subset, window)
         print(f"# auto window={window}", file=sys.stderr)
@@ -149,11 +151,20 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
         if b not in warmed:
             warmed.add(b)
             jax.block_until_ready(call(coords, boxes, invs, times))
+    # Timed pass through the overlapped pipeline (decode thread + one put
+    # per window + async dispatch — bench.py's machinery): the plain loop
+    # kept the host decode on the critical path, which bounds the small
+    # subset workloads once dispatch is amortized. Passing ``runner``
+    # (not a Mesh) keeps the warmed per-form jit cache.
+    pipe = WindowPipeline(
+        TrajectoryReader([xtc]), window, fn, quantized="delta",
+        subset=subset, mesh=runner,
+    )
     n = 0
     outs = []
     t0 = time.perf_counter()
-    for coords, boxes, invs, times, ids in _windows(xtc, window, subset):
-        outs.append(call(coords, boxes, invs, times))
+    for ids, res in pipe.run():
+        outs.append(res)
         n += len(ids)
     jax.block_until_ready(outs)
     return n, time.perf_counter() - t0

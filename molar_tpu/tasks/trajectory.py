@@ -437,7 +437,14 @@ class WindowPipeline:
         if mesh is not None:
             from ..parallel.mesh import MeshWindowRunner
 
-            self._runner = MeshWindowRunner(mesh)
+            # Accept a pre-built MeshWindowRunner so callers that warmed
+            # their window_fn through one keep its per-form jit cache
+            # (a fresh runner would re-wrap and recompile the same HLO).
+            self._runner = (
+                mesh
+                if isinstance(mesh, MeshWindowRunner)
+                else MeshWindowRunner(mesh)
+            )
         else:
             self._runner = None
 
