@@ -94,29 +94,6 @@ def decode_window_coords(coords):
     return _d(coords)
 
 
-def _auto_window(xtc, subset, requested):
-    """Pick the execute window for a subset-transport stream.
-
-    ``requested`` > 0 wins. Otherwise: a dispatch through the tunnel costs
-    ~25 ms per window, while a subset window's delta wire is only ~3 bytes x
-    n_rows per frame — tiny selections at window 16 are DISPATCH-bound
-    (round-4 workload table: ca_rmsd ships 3.75 KB/frame and loses ~60% of
-    its throughput to per-window overhead). Grow the window until a put
-    approaches ~4 MB (the tunnel's per-put cliff sits below ~10 MB:
-    round-3 w64/w32/w16 A/B/A chain) or the trajectory ends, capped at 128
-    frames; headline-scale full-frame streams land back at w16."""
-    from molar_tpu.io.xtc import XtcHandler
-
-    if requested:
-        return requested
-    h = XtcHandler(xtc)
-    n_frames, n_atoms = h.n_frames, h.n_atoms
-    h.close()
-    rows = n_atoms if subset is None else len(subset)
-    w = 4_000_000 // max(1, 3 * rows) // 16 * 16
-    return int(min(n_frames, max(16, min(128, w))))
-
-
 def _timed_stream(fn, xtc, window, runner=None, subset=None):
     """Warm up (compile) every distinct window shape, then time a full pass.
 
@@ -134,10 +111,14 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
     per-frame, as mesh mode requires)."""
     import jax
 
-    from molar_tpu.tasks.trajectory import TrajectoryReader, WindowPipeline
+    from molar_tpu.tasks.trajectory import (
+        TrajectoryReader,
+        WindowPipeline,
+        auto_window,
+    )
 
     if not window:
-        window = _auto_window(xtc, subset, window)
+        window = auto_window(xtc, subset)
         print(f"# auto window={window}", file=sys.stderr)
 
     def call(coords, boxes, invs, times):

@@ -359,6 +359,36 @@ def decode_window_coords(coords):
     return ints.astype(jnp.float32) * scale
 
 
+def auto_window(
+    path: str,
+    subset=None,
+    requested: int = 0,
+    target_bytes: int = 4_000_000,
+    max_window: int = 128,
+) -> int:
+    """Pick an execute-window size for a delta-transport stream.
+
+    ``requested`` > 0 wins unchanged. Otherwise the window grows until one
+    window's i8-delta wire (~3 bytes x rows x frames) reaches
+    ``target_bytes`` — small-selection streams are DISPATCH-bound at small
+    windows (~25 ms tunnel round-trip per window), while full-frame streams
+    must stay under the tunnel's per-put size cliff (>~10 MB puts collapse;
+    docs/perf_notes.md round-3/4 window tables). Clamped to
+    [16, min(n_frames, max_window)] and rounded down to a multiple of 16
+    for compile-cache-stable shapes.
+    """
+    from ..io.xtc import XtcHandler
+
+    if requested:
+        return requested
+    h = XtcHandler(path)
+    n_frames, n_atoms = h.n_frames, h.n_atoms
+    h.close()
+    rows = n_atoms if subset is None else len(subset)
+    w = target_bytes // max(1, 3 * rows) // 16 * 16
+    return int(min(n_frames, max(16, min(max_window, w))))
+
+
 def _chunk_coords(coords, k: int):
     """Split a window transport's bulk frame-axis array into ``k`` chunks.
 

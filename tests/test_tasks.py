@@ -144,6 +144,27 @@ def test_window_pipeline_put_chunks_matches_plain(two_trajs):
         )
 
 
+def test_auto_window_sizing(tmp_path):
+    from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.tasks.trajectory import auto_window
+
+    p = str(tmp_path / "aw.xtc")
+    w = XtcHandler(p, "w")
+    c = np.random.default_rng(0).uniform(0, 4, (100, 3)).astype(np.float32)
+    box = np.diag([4.0, 4.0, 4.0]).astype(np.float32)
+    for k in range(40):
+        w.write_raw(c, box, step=k, time=float(k))
+    w.close()
+
+    assert auto_window(p, requested=24) == 24  # explicit wins
+    # 100 rows = 300 B/frame of delta wire: 4 MB target -> whole trajectory
+    assert auto_window(p) == 40
+    # small byte target -> the 16-frame floor, rounded shape-stable
+    assert auto_window(p, target_bytes=3000) == 16
+    # large subsets shrink the window toward the floor
+    assert auto_window(p, subset=np.arange(100), target_bytes=3000) == 16
+
+
 def test_iter_windows_subset_matches_sliced_full(two_trajs):
     """Subset transport ships only the requested rows, bit-identical to
     slicing the full-frame windows, in every transport form (the delta form
