@@ -324,6 +324,11 @@ class FileHandler:
                 yield item
         finally:
             stop.set()
+            # Join before returning: the consumer's next move may be
+            # close(), and an in-flight read_state on the feeder thread
+            # racing a close() corrupts/leaks the mmap. put_or_stop polls
+            # ``stop`` every 0.1 s, so this returns promptly.
+            t.join()
 
     def _iter_sync(self) -> Iterator[State]:
         while True:

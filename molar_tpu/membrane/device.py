@@ -94,88 +94,13 @@ def _solve6_cholesky(M, rhs):
     return jnp.stack(x, axis=1), ok
 
 
-def _voronoi_batch(points, pmask):
-    """jnp port of :func:`molar_tpu.ops.voronoi.voronoi_cells_batch`.
-
-    ``points`` (L, K, 2), ``pmask`` (L, K); the edge id of cut k is the SLOT
-    index k (the caller translates slots to lipid ids through its patch-id
-    table). Returns (verts (L, V, 2), edge_ids (L, V) int32, counts (L,)
-    int32) with V = 4 + K + 1. Same Sutherland-Hodgman expression sequence
-    as the host loop, under lax.fori_loop (one compiled body for all cuts).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    L, K = pmask.shape
-    V = 4 + K + 1
-    b = _VORO_BOUND
-    verts0 = jnp.zeros((L, V, 2), jnp.float32)
-    verts0 = verts0.at[:, 0].set(jnp.array([-b, -b]))
-    verts0 = verts0.at[:, 1].set(jnp.array([b, -b]))
-    verts0 = verts0.at[:, 2].set(jnp.array([b, b]))
-    verts0 = verts0.at[:, 3].set(jnp.array([-b, b]))
-    eids0 = jnp.zeros((L, V), jnp.int32)
-    eids0 = eids0.at[:, :4].set(jnp.array([-1, -2, -3, -4], jnp.int32))
-    counts0 = jnp.full((L,), 4, jnp.int32)
-    idxV = jnp.arange(V)[None, :]
-
-    def body(k, carry):
-        verts, eids, counts = carry
-        nx = 0.5 * points[:, k, 0]
-        ny = 0.5 * points[:, k, 1]
-        c = nx * nx + ny * ny
-        active = pmask[:, k] & (c >= _VORO_TOL)
-        valid = idxV < counts[:, None]
-        d = nx[:, None] * verts[:, :, 0] + ny[:, None] * verts[:, :, 1] - c[:, None]
-        inside = d < _VORO_TOL
-        ins_valid = inside & valid
-        all_in = jnp.all(ins_valid == valid, axis=1)
-        all_out = ~jnp.any(ins_valid, axis=1)
-        change = active & ~all_in & ~all_out
-        j = jnp.where(idxV + 1 < counts[:, None], idxV + 1, 0)
-        d_j = jnp.take_along_axis(d, j, axis=1)
-        in_b = d_j < _VORO_TOL
-        crossing = valid & (inside != in_b)
-        emit_a = valid & inside
-        ax, ay = verts[:, :, 0], verts[:, :, 1]
-        bx = jnp.take_along_axis(ax, j, axis=1)
-        by = jnp.take_along_axis(ay, j, axis=1)
-        denom = d - d_j
-        t = d / jnp.where(denom == 0, 1.0, denom)
-        ix = ax + t * (bx - ax)
-        iy = ay + t * (by - ay)
-        x_id = jnp.where(inside, jnp.int32(k), eids)
-        emit = jnp.stack([emit_a, crossing], axis=2).reshape(L, 2 * V)
-        pos = jnp.cumsum(emit, axis=1) - emit
-        new_counts = emit.sum(axis=1).astype(jnp.int32)
-        vx_s = jnp.stack([ax, ix], axis=2).reshape(L, 2 * V)
-        vy_s = jnp.stack([ay, iy], axis=2).reshape(L, 2 * V)
-        id_s = jnp.stack([eids, x_id], axis=2).reshape(L, 2 * V)
-        rows = jnp.broadcast_to(jnp.arange(L)[:, None], (L, 2 * V))
-        flat = jnp.where(emit, rows * V + pos, L * V)  # L*V = dropped
-        nvx = jnp.zeros(L * V + 1, jnp.float32).at[flat.ravel()].set(
-            vx_s.ravel(), mode="drop"
-        )[:-1].reshape(L, V)
-        nvy = jnp.zeros(L * V + 1, jnp.float32).at[flat.ravel()].set(
-            vy_s.ravel(), mode="drop"
-        )[:-1].reshape(L, V)
-        nid = jnp.zeros(L * V + 1, jnp.int32).at[flat.ravel()].set(
-            id_s.ravel(), mode="drop"
-        )[:-1].reshape(L, V)
-        nverts = jnp.stack([nvx, nvy], axis=-1)
-        verts = jnp.where(change[:, None, None], nverts, verts)
-        eids = jnp.where(change[:, None], nid, eids)
-        counts = jnp.where(change, jnp.minimum(new_counts, V), counts)
-        return verts, eids, counts
-
-    return jax.lax.fori_loop(0, K, body, (verts0, eids0, counts0))
-
-
 def _voronoi_planes(points, pmask):
     """Scatter-free Voronoi cell geometry via candidate vertices.
 
-    The sequential Sutherland-Hodgman clip (:func:`_voronoi_batch`) costs 3
-    TPU scatters per cut per frame — measured ~0.5 s per 16-frame window at
+    The sequential Sutherland-Hodgman clip (a jnp fori_loop port of
+    :func:`molar_tpu.ops.voronoi.voronoi_cells_batch`, removed after the
+    A/B — see docs/perf_notes.md round-4) cost 3 TPU scatters per cut per
+    frame — measured ~0.5 s per 16-frame window at
     72 lipids. This formulation is pure reductions: the cell of the origin
     is the intersection of P = K+4 half-planes (K bisectors + the bounding
     box), its vertices are plane-pair intersections that satisfy every
@@ -448,7 +373,8 @@ class MembraneDevice:
 
         if patch_cap is None:
             patch_cap = self._estimate_patch_cap()
-        self.patch_cap = int(patch_cap)
+        # (clamped: lax.top_k needs k <= L whatever the caller asked for)
+        self.patch_cap = max(1, min(int(patch_cap), self.n_lipids))
         self._window_fn = jax.jit(self._build_window_fn())
 
     def _estimate_patch_cap(self) -> int:
@@ -478,7 +404,10 @@ class MembraneDevice:
         adj = (dm * dm).sum(-1) <= self.options.cutoff**2
         np.fill_diagonal(adj, False)
         kmax = int(adj.sum(1).max(initial=0))
-        return max((int(kmax * 1.25) + 7) // 8 * 8, 8)
+        # top_k(k) over the (L, L) distance matrix needs k <= L: small
+        # membranes clamp the 8-multiple rounding (and the 1.25 margin)
+        # rather than crash in XLA with an opaque k > dimension error.
+        return min(max((int(kmax * 1.25) + 7) // 8 * 8, 8), self.n_lipids)
 
     # -- traced pipeline ----------------------------------------------------
 
@@ -654,7 +583,14 @@ class MembraneDevice:
 
             runaway = jnp.abs(f) > 0.5
             valid = valid & ~runaway
-            new_markers = markers + f[:, None] * to_lab[:, :, 2]
+            # Host parity: _smooth `continue`s before the marker update for
+            # lipids invalidated this pass (wall/non-PD/runaway) and never
+            # touches entry-invalid ones — freeze their markers, or the
+            # garbage f of a masked fit teleports them into the NEXT pass's
+            # fits of their valid neighbors (max_smooth_iter >= 2).
+            new_markers = jnp.where(
+                valid[:, None], markers + f[:, None] * to_lab[:, :, 2], markers
+            )
 
             # marker smoothing: valid OWNERS scatter their fitted projection
             # of member j back onto j (np.add.at analogue)
@@ -826,7 +762,21 @@ class MembraneDevice:
             ).astype(np.float32)
             exts = np.broadcast_to(ext, (B, 3))
         else:
-            exts = np.stack([np.diag(np.asarray(b)) for b in np.asarray(boxes)])
+            bs = np.asarray(boxes)
+            # The pipeline's min-image math is orthorhombic-only (__init__
+            # rejects a triclinic build box); silently np.diag-ing a tilted
+            # per-frame cell (NPT Parrinello-Rahman) would corrupt every
+            # distance — fail loudly instead.
+            off = bs - bs * np.eye(3)[None]
+            if np.abs(off).max(initial=0.0) > 1e-5:
+                raise MembraneError(
+                    "MembraneDevice.compute_window: per-frame box is not "
+                    "orthorhombic (off-diagonal max "
+                    f"{np.abs(off).max():.2e}); the device pipeline "
+                    "supports rectangular cells only — use the host "
+                    "Membrane.compute path for triclinic boxes"
+                )
+            exts = np.stack([np.diag(b) for b in bs])
         out = self._window_fn(coords, jnp.asarray(exts, jnp.float32))
         return jax.tree_util.tree_map(np.asarray, out)
 

@@ -165,6 +165,48 @@ def test_device_curvature_smoothing(tmp_path):
                                    rtol=0.05, atol=5e-4)
 
 
+def test_device_matches_host_two_smooth_passes(tmp_path):
+    """max_smooth_iter=2: pass-2 fits consume pass-1 markers — invalidated
+    lipids' markers must FREEZE (host `continue`s before the update), or
+    their garbage fit offset teleports them into valid neighbors' pass-2
+    patches (round-4 self-review finding)."""
+    memb_h, memb_d, dev, host, outs = run_both(
+        tmp_path, toml_extra="max_smooth_iter = 2")
+    for fr, h in enumerate(host):
+        np.testing.assert_array_equal(outs["valid"][fr], h["valid"],
+                                      err_msg=f"valid flags frame {fr}")
+        v = h["valid"]
+        np.testing.assert_allclose(outs["area"][fr][v], h["area"][v],
+                                   rtol=2e-3, err_msg=f"areas frame {fr}")
+        np.testing.assert_allclose(outs["mean_curv"][fr][v], h["mean"][v],
+                                   rtol=0.05, atol=5e-4)
+
+
+def test_device_small_membrane_patch_cap_clamps(tmp_path):
+    """A tiny membrane (L < the 8-multiple cap floor) must build and run:
+    lax.top_k needs k <= L (round-4 self-review finding)."""
+    sys_h = make_bilayer(nx=2, ny=2)
+    memb = Membrane(sys_h, TOML.format(out=str(tmp_path), extra=""))
+    memb.add_ids_to_group("all", range(len(memb.lipids)))
+    dev = MembraneDevice(memb)
+    assert dev.patch_cap <= dev.n_lipids == 8
+    window = np.stack([sys_h.state.coords[dev.subset]])
+    outs = dev.compute_window(window.astype(np.float32))
+    assert outs["valid"].shape == (1, 8)
+
+
+def test_device_rejects_triclinic_frame_box(tmp_path):
+    sys_h = make_bilayer()
+    memb = Membrane(sys_h, TOML.format(out=str(tmp_path), extra=""))
+    memb.add_ids_to_group("all", range(len(memb.lipids)))
+    dev = MembraneDevice(memb)
+    window = np.stack([sys_h.state.coords[dev.subset]]).astype(np.float32)
+    tri = np.asarray(sys_h.state.box.matrix).copy()
+    tri[0, 2] = 1.0  # tilt the cell
+    with pytest.raises(Exception, match="orthorhombic"):
+        dev.compute_window(window, boxes=tri[None])
+
+
 def test_device_rejects_unsupported(tmp_path):
     sys_h = make_bilayer()
     memb = Membrane(
