@@ -326,6 +326,17 @@ class PeriodicBox:
         reference's in-place periodic_box.rs:393-403)."""
         return PeriodicBox(self.matrix * np.asarray(factors, dtype=FLOAT)[None, :])
 
+    # -- pymolar-compat getter aliases (molar.pyi:66-70) ---------------------
+
+    def get_matrix(self) -> np.ndarray:
+        return self.matrix
+
+    def get_box_extents(self) -> np.ndarray:
+        return self.box_extents()
+
+    def get_lab_extents(self) -> np.ndarray:
+        return self.lab_extents()
+
     # -- plumbing ------------------------------------------------------------
 
     def padded_corrections(self) -> np.ndarray:

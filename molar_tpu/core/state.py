@@ -50,6 +50,10 @@ class State:
             raise ValueError("operation requires a periodic box, but state has none")
         return self.box
 
+    def set_box_from(self, src) -> None:
+        """Copy the box of ``src`` (System/Sel/State) — molar.pyi:54."""
+        self.box = src.box if isinstance(src, State) else src.state.box
+
     def copy(self) -> "State":
         return State(
             coords=self.coords.copy(),

@@ -223,6 +223,16 @@ class System:
         b = other.state.box
         self.state.box = None if b is None else PeriodicBox(b.matrix.copy())
 
+    def iter_pos(self):
+        """Yield each atom's position row (pymolar molar.pyi:126)."""
+        for row in self.state.coords:
+            yield row
+
+    def iter_atoms(self):
+        """Yield each atom as an :class:`Atom` (pymolar molar.pyi:127)."""
+        for i in range(self.n_atoms):
+            yield self.topology.atom(i)
+
     def multiply_periodically(self, nx: int, ny: int, nz: int) -> None:
         """Tile the system nx*ny*nz times along the box vectors, scaling the
         box accordingly (system.rs:312; the solvate workhorse)."""
@@ -595,6 +605,44 @@ class Sel:
 
     def set_same_charge(self, charge: float) -> None:
         self.topology.charge[self.indices] = charge
+
+    def set_same_resid(self, resid: int) -> None:
+        self.topology.resid[self.indices] = int(resid)
+
+    def set_same_bfactor(self, bfactor: float) -> None:
+        self.topology.bfactor[self.indices] = bfactor
+
+    # -- pymolar-compat aliases (molar.pyi:144-168) -------------------------------
+    # The native methods take ``pbc=`` kwargs; the reference bindings expose
+    # separate ``*_pbc`` entry points — thin aliases for drop-in use.
+
+    def gyration_pbc(self) -> float:
+        return self.gyration(pbc=PBC_FULL)
+
+    def inertia_pbc(self):
+        return self.inertia(pbc=PBC_FULL)
+
+    def principal_transform_pbc(self):
+        return self.principal_transform(pbc=PBC_FULL)
+
+    def replace_state_deep(self, state: State) -> State:
+        """pymolar alias of :meth:`set_state` (molar.pyi:143)."""
+        return self.set_state(state)
+
+    def set_box_from(self, src) -> None:
+        """Copy the box of ``src`` (System or Sel) into the bound state
+        (molar.pyi:150)."""
+        self.state.box = src.state.box
+
+    def iter_pos(self):
+        """Yield each selected atom's position row (molar.pyi:167)."""
+        for i in self.indices:
+            yield self.state.coords[i]
+
+    def iter_atoms(self):
+        """Yield each selected atom as an :class:`Atom` (molar.pyi:168)."""
+        for i in self.indices:
+            yield self.topology.atom(int(i))
 
     # -- modify ------------------------------------------------------------------
 

@@ -199,6 +199,27 @@ class FileHandler:
     def write_system(self, system, indices=None) -> None:
         self.write(system.topology, system.state, indices)
 
+    def write_topology(self, data) -> None:
+        """Write only the topology part of ``data`` (System/Sel/Topology) —
+        pymolar molar.pyi:95. Coordinate-carrying formats write the current
+        state alongside (as the reference's topology writers do)."""
+        if isinstance(data, Topology):
+            from ..core.state import make_fake_state
+
+            self.write(data, make_fake_state(len(data)))
+            return
+        idx = getattr(data, "indices", None)
+        self.write(data.topology, data.state, idx)
+
+    def write_state(self, data) -> None:
+        """Write only the state/frame part of ``data`` (System/Sel/State) —
+        pymolar molar.pyi:96."""
+        if isinstance(data, State):
+            self.write(None, data)
+            return
+        idx = getattr(data, "indices", None)
+        self.write(data.topology, data.state, idx)
+
     def write_state_pick(
         self,
         state: State,

@@ -16,8 +16,16 @@ _GROUP = re.compile(r"\[\s*(.+?)\s*\]")
 
 
 class NdxFile:
-    def __init__(self, groups: dict[str, np.ndarray] | None = None):
+    def __init__(self, groups: dict[str, np.ndarray] | str | None = None):
+        # pymolar-compat: NdxFile("index.ndx") loads the file
+        # (molar.pyi:179); the native form takes a groups dict.
+        if isinstance(groups, str):
+            groups = NdxFile.read(groups).groups
         self.groups: dict[str, np.ndarray] = groups or {}
+
+    def get_group_as_sel(self, gr_name: str, sys):
+        """The named group as a selection of ``sys`` (molar.pyi:180)."""
+        return sys(list(int(i) for i in self.groups[gr_name]))
 
     @staticmethod
     def read(path: str) -> "NdxFile":

@@ -1,0 +1,114 @@
+"""Drop-in parity with the reference Python bindings' surface.
+
+The contract is pymolar's type stubs
+(/root/reference/molar_python/python/pymolar/molar.pyi): every public
+symbol there must exist here, either natively or as a documented alias
+(SURVEY §2.5). The AnalysisTask-compat surface is covered in test_tasks.py.
+"""
+
+import numpy as np
+import pytest
+
+import molar_tpu as mt
+from molar_tpu import PBC_FULL, PeriodicBox, State, System
+from molar_tpu.io import FileHandler
+from molar_tpu.io.ndx import NdxFile
+
+
+@pytest.fixture()
+def sysb(tmp_path):
+    path = tmp_path / "s.pdb"
+    lines = []
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        x, y, z = rng.uniform(2, 8, 3) * 10  # Å
+        resid = i // 4 + 1
+        lines.append(
+            f"ATOM  {i+1:5d}  CA  ALA A{resid:4d}    "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           C"
+        )
+    lines.append("END")
+    path.write_text("\n".join(lines) + "\n")
+    s = System.from_file(str(path))
+    s.state.box = PeriodicBox(np.diag([10.0, 10.0, 10.0]).astype(np.float32))
+    return s
+
+
+def test_iterators(sysb):
+    pos = list(sysb.iter_pos())
+    assert len(pos) == 24 and pos[0].shape == (3,)
+    atoms = list(sysb.iter_atoms())
+    assert atoms[3].name == "CA" and atoms[3].resid == 1
+    sel = sysb("resid 2")
+    assert len(list(sel.iter_pos())) == 4
+    assert [a.resid for a in sel.iter_atoms()] == [2, 2, 2, 2]
+
+
+def test_sel_setters_and_aliases(sysb):
+    sel = sysb("resid 3")
+    sel.set_same_resid(99)
+    assert len(sysb("resid 99")) == 4
+    sel.set_same_bfactor(42.0)
+    assert np.allclose(sysb.topology.bfactor[sel.indices], 42.0)
+
+    g, gp = sel.gyration(), sel.gyration_pbc()
+    assert g > 0 and gp > 0
+    assert np.allclose(sel.inertia_pbc()[0], sel.inertia(pbc=PBC_FULL)[0])
+    assert sel.principal_transform_pbc() is not None
+
+    st2 = sysb.state.copy()
+    st2.coords += 1.0
+    old = sel.replace_state_deep(st2)  # alias of set_state, returns previous
+    assert isinstance(old, State)
+
+
+def test_box_from_and_getters(sysb):
+    other = System(sysb.topology, sysb.state.copy())
+    other.state.box = PeriodicBox(np.diag([7.0, 8.0, 9.0]).astype(np.float32))
+    sysb("all").set_box_from(other)
+    assert np.allclose(sysb.state.box.matrix, other.state.box.matrix)
+    st = sysb.state
+    st.set_box_from(other)
+    assert np.allclose(st.box.matrix, other.state.box.matrix)
+
+    b = st.box
+    assert np.array_equal(b.get_matrix(), b.matrix)
+    assert np.array_equal(b.get_box_extents(), b.box_extents())
+    assert np.array_equal(b.get_lab_extents(), b.lab_extents())
+
+
+def test_filehandler_part_writes(sysb, tmp_path):
+    p = str(tmp_path / "out.pdb")
+    with FileHandler(p, "w") as fh:
+        fh.write_topology(sysb)
+    assert System.from_file(p).n_atoms == 24
+
+    x = str(tmp_path / "out.xtc")
+    with FileHandler(x, "w") as fh:
+        fh.write_state(sysb.state)
+        fh.write_state(sysb)  # System form
+    frames = list(FileHandler(x).iter_states())
+    assert len(frames) == 2
+    np.testing.assert_allclose(
+        frames[0].coords, sysb.state.coords, atol=1e-3
+    )
+
+
+def test_ndx_path_ctor_and_group_sel(sysb, tmp_path):
+    p = str(tmp_path / "ix.ndx")
+    ndx = NdxFile({"grp": np.array([0, 5, 7])})
+    ndx.write(p)
+    loaded = NdxFile(p)  # pymolar path-constructor form
+    sel = loaded.get_group_as_sel("grp", sysb)
+    assert sorted(sel.indices.tolist()) == [0, 5, 7]
+
+
+def test_module_level_functions(sysb):
+    a = sysb("resid 1")
+    b = sysb("resid 2")
+    r, t = mt.fit_transform(a, b)
+    assert np.asarray(r).shape == (3, 3)
+    assert mt.rmsd_py(a, b) >= 0
+    assert mt.rmsd_mw(a, b) >= 0
+    r2, t2, _pairs = (*mt.fit_transform_matching(a, a), None)[:3]
+    mt.greeting("compat-test")
