@@ -85,7 +85,23 @@ class System:
 
     def _resolve_def(self, seldef: SelectionDef, subset: Optional[np.ndarray] = None) -> np.ndarray:
         n = self.n_atoms
-        if isinstance(seldef, Sel):
+        if seldef is None:
+            # pymolar: System(None) / System() select every atom
+            # (molar.pyi:117).
+            idx = np.arange(n, dtype=np.int64)
+            if subset is not None:
+                idx = np.asarray(subset, dtype=np.int64).copy()
+            return idx
+        if (
+            isinstance(seldef, tuple)
+            and len(seldef) == 2
+            and all(isinstance(v, (int, np.integer)) for v in seldef)
+        ):
+            # pymolar: a 2-tuple is the RANGE form (molar.pyi:117),
+            # half-open [start, stop) like Python ranges; explicit index
+            # LISTS stay the list form below.
+            idx = np.arange(seldef[0], seldef[1], dtype=np.int64)
+        elif isinstance(seldef, Sel):
             idx = seldef.indices.copy()
         elif isinstance(seldef, SelectionExpr):
             idx = seldef.apply(self.topology, self.state, subset)
@@ -109,7 +125,7 @@ class System:
                 raise SelectionError("sub-selection indices escape the parent selection")
         return idx
 
-    def select(self, seldef: SelectionDef) -> "Sel":
+    def select(self, seldef: SelectionDef = None) -> "Sel":
         return Sel(self, self._resolve_def(seldef))
 
     __call__ = select
@@ -319,13 +335,14 @@ def distance_search(
 class Sel:
     """A bound, sorted, non-empty selection over a system."""
 
-    __slots__ = ("system", "indices")
+    __slots__ = ("system", "indices", "_state")
 
     def __init__(self, system: System, indices: np.ndarray):
         if len(indices) == 0:
             raise SelectionError("selection is empty")
         self.system = system
         self.indices = np.asarray(indices, dtype=np.int64)
+        self._state = None  # per-selection state rebind (pymolar semantics)
 
     # -- basics ---------------------------------------------------------------
 
@@ -338,13 +355,22 @@ class Sel:
 
     @property
     def state(self) -> State:
-        return self.system.state
+        return self._state if self._state is not None else self.system.state
 
     @state.setter
     def state(self, st: State) -> None:
-        # assigning through any bound selection swaps the SYSTEM state
-        # (pymolar `sel.state = st` per-frame idiom)
-        self.system.set_state(st)
+        # Assigning rebinds THIS selection only: the system and sibling
+        # selections keep their state (the reference bindings' contract —
+        # molar_python/tests/test_2.py
+        # test_set_state_updates_system_time_and_returns_previous_state;
+        # each Rust Sel holds its own state Arc). The per-frame trajectory
+        # idiom `sel.state = st; sel.com()` works identically either way.
+        if st.n_atoms != self.system.n_atoms:
+            raise SelectionError(
+                f"state has {st.n_atoms} atoms, system has "
+                f"{self.system.n_atoms}"
+            )
+        self._state = st
 
     @property
     def coords(self) -> np.ndarray:
@@ -379,6 +405,11 @@ class Sel:
     @property
     def resindices(self) -> np.ndarray:
         return self.topology.resindex[self.indices]
+
+    @property
+    def time(self) -> float:
+        """Time (ps) of the viewed state (pymolar parity)."""
+        return self.state.time
 
     def __repr__(self) -> str:
         return f"Sel({len(self)} atoms)"
@@ -625,9 +656,21 @@ class Sel:
     def principal_transform_pbc(self):
         return self.principal_transform(pbc=PBC_FULL)
 
-    def replace_state_deep(self, state: State) -> State:
-        """pymolar alias of :meth:`set_state` (molar.pyi:143)."""
-        return self.set_state(state)
+    def replace_state_deep(self, state: State) -> None:
+        """Exchange the CONTENTS of the viewed state with ``state``
+        (molar.pyi:143): every holder of the viewed State object — the
+        system and sibling selections included, when this selection views
+        the system state — observes the new values in place."""
+        if state.n_atoms != self.system.n_atoms:
+            raise SelectionError(
+                f"state has {state.n_atoms} atoms, system has "
+                f"{self.system.n_atoms}"
+            )
+        cur = self.state
+        for f in ("coords", "velocities", "forces", "time", "box", "step"):
+            a, b = getattr(cur, f), getattr(state, f)
+            setattr(cur, f, b)
+            setattr(state, f, a)
 
     def set_box_from(self, src) -> None:
         """Copy the box of ``src`` (System or Sel) into the bound state
@@ -812,10 +855,13 @@ class Sel:
             fh.write(self.topology, self.state, indices=self.indices)
 
     def set_state(self, state: State) -> State:
-        """Swap a new state into this selection's SYSTEM (shared by every
-        selection bound to it), returning the old one — the per-frame loop
-        of the reference python bindings (SelPy.set_state)."""
-        return self.system.set_state(state)
+        """Rebind this selection to a new state (same atom count),
+        returning the previously-viewed one — the per-frame loop of the
+        reference python bindings (``sel.state = st``; the system and other
+        selections are unaffected, see the ``state`` property)."""
+        old = self.state
+        self.state = state
+        return old
 
     def __rshift__(self, system: "System") -> "Sel":
         """``sel >> other_system``: rebind this selection's indices to another

@@ -90,10 +90,12 @@ def test_sel_set_state(sys_, ref_data):
     st2.time = 100.0
     sel = sys_("name CA")
     old = sel.set_state(st2)
-    assert sys_.state.time == 100.0
     assert old.time != 100.0
-    # every selection bound to the system sees the new state
-    assert sys_("name CB").state.time == 100.0
+    # The reference contract (molar_python/tests/test_2.py): rebinding a
+    # selection's state leaves the SYSTEM and sibling selections untouched.
+    assert sel.time == 100.0
+    assert sys_.state.time == old.time
+    assert sys_("name CB").state.time == old.time
 
 
 def test_state_property_setter_and_replace_deep(sys_, ref_data):
@@ -104,8 +106,9 @@ def test_state_property_setter_and_replace_deep(sys_, ref_data):
     st1 = sys_.state
     t1 = st1.time
     sel1 = sys_("name CA")
-    sel1.state = st2  # property assignment swaps the system state
-    assert sys_.state.time == 100.0 and st1.time == t1  # st1 untouched
+    sel1.state = st2  # property assignment rebinds THIS selection only
+    assert sel1.time == 100.0
+    assert sys_.state.time == t1 and st1.time == t1  # system + st1 untouched
 
     # replace_state_deep swaps CONTENTS: old references observe the change
     st3 = FileHandler(str(ref_data / "protein.pdb")).read_state()
@@ -114,4 +117,4 @@ def test_state_property_setter_and_replace_deep(sys_, ref_data):
     sys_.replace_state_deep(st3)
     assert held.time == 777.0  # the held object itself changed
     assert sys_.state is held
-    assert st3.time == 100.0  # and got the old contents
+    assert st3.time == t1  # and got the old contents

@@ -57,9 +57,38 @@ def test_sel_setters_and_aliases(sysb):
     assert sel.principal_transform_pbc() is not None
 
     st2 = sysb.state.copy()
-    st2.coords += 1.0
-    old = sel.replace_state_deep(st2)  # alias of set_state, returns previous
-    assert isinstance(old, State)
+    st2.coords = st2.coords + 1.0
+    st2.time = 50.0
+    t1 = sysb.state.time
+    sel.replace_state_deep(st2)  # contents exchange: system observes it
+    assert sysb.state.time == 50.0 and st2.time == t1
+
+
+def test_sel_state_rebind_isolated(sysb):
+    """molar_python/tests/test_2.py: sel.state = st rebinds only that
+    selection; system and sibling selections keep theirs."""
+    st1 = sysb.state
+    t1 = st1.time
+    st2 = sysb.state.copy()
+    st2.time = 100.0
+    sel1 = sysb("resid 1")
+    sel2 = sysb("resid 2")
+    old = sel1.state
+    sel1.state = st2
+    assert sysb.state.time == t1
+    assert sel1.time == 100.0
+    assert sel2.time == t1
+    assert old.time == t1
+    assert st1.time != st2.time
+
+
+def test_system_call_variants(sysb):
+    """molar.pyi:117: None/no-arg = all; 2-tuple = index range; list =
+    explicit indices."""
+    assert len(sysb(None)) == sysb.n_atoms
+    assert len(sysb()) == sysb.n_atoms
+    assert len(sysb((0, 10))) == 10  # half-open [start, stop)
+    assert len(sysb([1, 3, 4, 5, 6, 7])) == 6
 
 
 def test_box_from_and_getters(sysb):
