@@ -207,7 +207,21 @@ class PeriodicBox:
 
     __slots__ = ("matrix", "inv", "corrections")
 
-    def __init__(self, matrix: Sequence[Sequence[float]] | np.ndarray):
+    def __init__(
+        self,
+        matrix: Sequence[Sequence[float]] | np.ndarray,
+        angles: Sequence[float] | None = None,
+    ):
+        if angles is not None:
+            # pymolar two-arg form: PeriodicBox([a, b, c], [alpha, beta,
+            # gamma]) (molar.pyi:61).
+            v = np.asarray(matrix, dtype=np.float64)
+            ang = np.asarray(angles, dtype=np.float64)
+            if v.shape != (3,) or ang.shape != (3,):
+                raise PeriodicBoxError(
+                    "vectors+angles form needs two length-3 sequences"
+                )
+            matrix = PeriodicBox.from_vectors_angles(*v, *ang).matrix
         m = np.array(matrix, dtype=FLOAT)
         if m.shape != (3, 3):
             raise PeriodicBoxError(f"box matrix must be 3x3, got {m.shape}")

@@ -386,6 +386,18 @@ class Sel:
     def coords(self, value: np.ndarray) -> None:
         self.state.coords[self.indices] = np.asarray(value, FLOAT).reshape(len(self), 3)
 
+    def get_coord(self) -> np.ndarray:
+        """(3, n) coordinate copy — the reference bindings' column layout
+        (pymolar test.py test7); :attr:`coords` is the row-per-atom form."""
+        return self.coords.T
+
+    def set_coord(self, value: np.ndarray) -> None:
+        """Set coordinates from the (3, n) column layout."""
+        v = np.asarray(value, FLOAT)
+        if v.shape == (3, len(self)):
+            v = v.T
+        self.coords = v
+
     @property
     def masses(self) -> np.ndarray:
         return self.topology.mass[self.indices]

@@ -132,6 +132,24 @@ def test_ndx_path_ctor_and_group_sel(sysb, tmp_path):
     assert sorted(sel.indices.tolist()) == [0, 5, 7]
 
 
+def test_coord_column_layout_and_box_two_arg(sysb):
+    """pymolar test.py test7/test9: get_coord/set_coord use the (3, n)
+    column layout; PeriodicBox accepts (vectors, angles)."""
+    sel = sysb("resid 1")
+    crd = sel.get_coord()
+    assert crd.shape == (3, len(sel))
+    crd[0, 0] = 4.2
+    sel.set_coord(crd)
+    assert sel[0].pos[0] == pytest.approx(4.2)
+    sel.set_coord(np.zeros((3, len(sel)), np.float32))
+    assert np.allclose(sel[0].pos, 0.0)
+
+    b = PeriodicBox([1.0, 2.0, 3.0], [90.0, 90.0, 90.0])
+    assert np.allclose(np.diag(b.matrix), [1.0, 2.0, 3.0])
+    v, a = b.to_vectors_angles()
+    assert np.allclose(a, 90.0)
+
+
 def test_module_level_functions(sysb):
     a = sysb("resid 1")
     b = sysb("resid 2")
