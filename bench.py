@@ -179,6 +179,41 @@ def main() -> int:
     if args.quick:
         args.atoms, args.protein, args.frames, args.window = 5000, 500, 32, 8
 
+    if not args.cpu:
+        # The axon tunnel goes fully down for hours at a time (round-4 log:
+        # backend init either raises UNAVAILABLE or hangs in C). A hung
+        # capture is worse than a late one: probe the backend in a
+        # SUBPROCESS with a timeout (init hangs can't be interrupted
+        # in-process) and retry a few times before giving up loudly.
+        import subprocess
+
+        for attempt in range(4):
+            try:
+                subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    timeout=300,
+                    check=True,
+                    capture_output=True,
+                )
+                break
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+                print(
+                    f"# TPU backend probe failed (attempt {attempt + 1}/4)",
+                    file=sys.stderr,
+                )
+                if attempt == 3:
+                    print(json.dumps({
+                        "metric": "frames/sec/chip: RMSD fit + 0.5 nm PBC "
+                        f"distance search, {args.atoms // 1000}k-atom system",
+                        "value": None,
+                        "unit": "frames/sec/chip",
+                        "vs_baseline": None,
+                        "error": "TPU backend unavailable (tunnel down; "
+                        "4 probes over ~25 min failed)",
+                    }))
+                    return 2
+                time.sleep(120)
+
     import jax
 
     if args.cpu:

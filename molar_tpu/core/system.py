@@ -37,7 +37,24 @@ SelectionDef = Union[str, SelectionExpr, np.ndarray, Sequence[int], range, slice
 class System:
     """Owns a topology and the current state; selections bind to it."""
 
-    def __init__(self, topology: Topology, state: State):
+    def __init__(
+        self,
+        topology: "Topology | str | None" = None,
+        state: Optional[State] = None,
+    ):
+        # pymolar constructor overloads (molar.pyi:110-114): System(),
+        # System("file.pdb"), System(topology, state).
+        if isinstance(topology, str):
+            if state is not None:
+                raise SelectionError(
+                    "System(filename) takes no state argument"
+                )
+            from ..io import read_file
+
+            topology, state = read_file(topology)
+        elif topology is None and state is None:
+            topology = Topology.from_atoms([])
+            state = State(coords=np.zeros((0, 3), FLOAT))
         if topology.n_atoms != state.n_atoms:
             raise SelectionError(
                 f"topology has {topology.n_atoms} atoms but state has {state.n_atoms}"

@@ -132,6 +132,16 @@ def test_ndx_path_ctor_and_group_sel(sysb, tmp_path):
     assert sorted(sel.indices.tolist()) == [0, 5, 7]
 
 
+def test_system_ctor_overloads(tmp_path, sysb):
+    """molar.pyi:110-114: System(), System(fname), System(top, state)."""
+    p = str(tmp_path / "ctor.pdb")
+    sysb.save(p)
+    s = System(p)
+    assert s.n_atoms == sysb.n_atoms
+    assert System().n_atoms == 0
+    assert System(sysb.topology, sysb.state).n_atoms == sysb.n_atoms
+
+
 def test_coord_column_layout_and_box_two_arg(sysb):
     """pymolar test.py test7/test9: get_coord/set_coord use the (3, n)
     column layout; PeriodicBox accepts (vectors, angles)."""
