@@ -169,8 +169,12 @@ class System:
         atoms,
         coords: np.ndarray,
         velocities: Optional[np.ndarray] = None,
-    ) -> None:
-        """Append atoms (list of Atom) with coordinates (system.rs:272)."""
+    ) -> "Sel":
+        """Append atoms (list of Atom) with coordinates, returning the
+        selection of the added atoms (system.rs:272; the reference returns
+        it so callers can e.g. ``set_same_resname`` on what they added —
+        README tutorial)."""
+        n_before = self.n_atoms
         add = Topology.from_atoms(list(atoms))
         self.topology = self.topology.concat(add)
         self.state.coords = np.concatenate(
@@ -187,6 +191,7 @@ class System:
             self.state.forces = np.concatenate(
                 [self.state.forces, np.zeros((add.n_atoms, 3), FLOAT)]
             )
+        return Sel(self, np.arange(n_before, self.n_atoms, dtype=np.int64))
 
     def append(self, what: Union["System", "Sel"]) -> None:
         """Append a System or a Sel — including a selection of this same

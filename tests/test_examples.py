@@ -117,6 +117,47 @@ tails = ["C1-C2-C3-C4"]
     assert "3 frames" in capsys.readouterr().out
 
 
+def test_tip3to4_tutorial(tmp_path, capsys):
+    """The README-tutorial port converts a TIP3 box and keeps non-water."""
+    from molar_tpu import PeriodicBox, System
+    from molar_tpu.core.atom import Atom
+    from molar_tpu.core.state import State
+    from molar_tpu.core.topology import Topology
+
+    atoms, coords = [], []
+    rng = np.random.default_rng(0)
+    # two protein-ish atoms + three TIP3 waters
+    for k in range(2):
+        atoms.append(Atom(name="CA", resname="ALA", resid=k + 1,
+                          atomic_number=6, mass=12.0))
+        coords.append(rng.uniform(0, 3, 3))
+    for w in range(3):
+        base = rng.uniform(0, 3, 3)
+        for nm, z, off in (("OW", 8, [0, 0, 0]),
+                           ("HW1", 1, [0.0957, 0, 0]),
+                           ("HW2", 1, [-0.024, 0.0927, 0])):
+            atoms.append(Atom(name=nm, resname="TIP3", resid=10 + w,
+                              atomic_number=z, mass=float(z)))
+            coords.append(base + off)
+    top = Topology.from_atoms(atoms)
+    top.assign_resindex()
+    st = State(coords=np.asarray(coords, np.float32),
+               box=PeriodicBox(np.diag([3.0, 3.0, 3.0]).astype(np.float32)))
+    inp = tmp_path / "in.gro"
+    System(top, st).save(str(inp))
+    outp = tmp_path / "out.gro"
+    _run("examples/tip3to4_tutorial.py", [str(inp), str(outp)])
+    assert "3 waters converted" in capsys.readouterr().out
+    out = System(str(outp))
+    assert out.n_atoms == 2 + 3 * 4
+    m = out("name M")
+    assert len(m) == 3 and set(m.resnames) == {"TIP4"}
+    # M sits 0.01546 nm from its oxygen on the H-O-H bisector
+    o = out("resname TIP4 and name OW")
+    d = np.linalg.norm(m.coords - o.coords, axis=1)
+    np.testing.assert_allclose(d, 0.01546, atol=1e-3)
+
+
 def test_assign_ff_example(ref_data, capsys):
     sdf = (
         ref_data.parent.parent
