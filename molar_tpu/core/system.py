@@ -523,6 +523,24 @@ class Sel:
     def split_resindex(self) -> list["Sel"]:
         return self.split_contig(self.topology.resindex)
 
+    def split_by(self, key_fn: Callable[["Particle"], object]) -> list["Sel"]:
+        """Split by an arbitrary per-particle key — the reference's
+        ``split_par`` closure contract (README "Parallel splits";
+        system.rs split_par): return ``None`` to drop the atom, any other
+        value to group by it. Groups keep first-appearance order. The
+        resulting disjoint selections are the unit of parallel work
+        (segment ids / vmapped reductions on this side)."""
+        groups: dict = {}
+        for p in self:
+            k = key_fn(p)
+            if k is None:
+                continue
+            groups.setdefault(k, []).append(p.index)
+        return [
+            Sel(self.system, np.asarray(ix, dtype=np.int64))
+            for ix in groups.values()
+        ]
+
     def split_chain(self) -> list["Sel"]:
         """Group by chain value (all atoms of each chain, not just runs) —
         the Python-binding semantics (molar_python selection.rs:1396-1414)."""

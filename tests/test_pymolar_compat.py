@@ -160,6 +160,17 @@ def test_coord_column_layout_and_box_two_arg(sysb):
     assert np.allclose(a, 90.0)
 
 
+def test_split_by_predicate(sysb):
+    """README 'Parallel splits': split_par's closure contract — None drops
+    the atom, distinct values make distinct selections."""
+    parts = sysb("all").split_by(
+        lambda p: p.resid if p.resid % 2 == 0 else None
+    )
+    assert len(parts) == 3  # resids 2, 4, 6 of the 6 residues
+    assert all(len(s) == 4 for s in parts)
+    assert sorted(s[0].resid for s in parts) == [2, 4, 6]
+
+
 def test_module_level_functions(sysb):
     a = sysb("resid 1")
     b = sysb("resid 2")
