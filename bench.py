@@ -187,6 +187,8 @@ def main() -> int:
         # in-process) and retry a few times before giving up loudly.
         import subprocess
 
+        t_probe0 = time.perf_counter()
+        last_err = ""
         for attempt in range(4):
             try:
                 subprocess.run(
@@ -196,23 +198,31 @@ def main() -> int:
                     capture_output=True,
                 )
                 break
-            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-                print(
-                    f"# TPU backend probe failed (attempt {attempt + 1}/4)",
-                    file=sys.stderr,
-                )
-                if attempt == 3:
-                    print(json.dumps({
-                        "metric": "frames/sec/chip: RMSD fit + 0.5 nm PBC "
-                        f"distance search, {args.atoms // 1000}k-atom system",
-                        "value": None,
-                        "unit": "frames/sec/chip",
-                        "vs_baseline": None,
-                        "error": "TPU backend unavailable (tunnel down; "
-                        "4 probes over ~25 min failed)",
-                    }))
-                    return 2
-                time.sleep(120)
+            except subprocess.TimeoutExpired:
+                last_err = "probe timed out after 300 s (hung backend init)"
+            except subprocess.CalledProcessError as e:
+                last_err = (e.stderr or b"").decode(
+                    errors="replace"
+                ).strip().splitlines()[-1:] or ["no stderr"]
+                last_err = last_err[0]
+            print(
+                f"# TPU backend probe failed (attempt {attempt + 1}/4): "
+                f"{last_err}",
+                file=sys.stderr,
+            )
+            if attempt == 3:
+                mins = (time.perf_counter() - t_probe0) / 60
+                print(json.dumps({
+                    "metric": "frames/sec/chip: RMSD fit + 0.5 nm PBC "
+                    f"distance search, {args.atoms // 1000}k-atom system",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": None,
+                    "error": "TPU backend unavailable (4 probes over "
+                    f"{mins:.0f} min; last: {last_err})",
+                }))
+                return 2
+            time.sleep(120)
 
     import jax
 

@@ -33,7 +33,11 @@ def main() -> int:
 
     # "Making selections": empty selections raise, as in the reference —
     # an all-water box simply has no non-water part to carry over.
-    water = src("resname TIP3")
+    try:
+        water = src("resname TIP3")
+    except SelectionError:
+        print(f"no TIP3 waters in {args[0]}; nothing to convert")
+        return 1
 
     # "Constructing output system": start from an empty System and add the
     # non-water part unchanged.

@@ -51,8 +51,11 @@ class State:
         return self.box
 
     def set_box_from(self, src) -> None:
-        """Copy the box of ``src`` (System/Sel/State) — molar.pyi:54."""
-        self.box = src.box if isinstance(src, State) else src.state.box
+        """Copy the box of ``src`` (System/Sel/State) — molar.pyi:54.
+        A fresh PeriodicBox, never an alias (System.set_box_from's
+        invariant)."""
+        b = src.box if isinstance(src, State) else src.state.box
+        self.box = None if b is None else PeriodicBox(b.matrix.copy())
 
     def copy(self) -> "State":
         return State(

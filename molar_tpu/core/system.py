@@ -34,6 +34,20 @@ class SelectionError(ValueError):
 SelectionDef = Union[str, SelectionExpr, np.ndarray, Sequence[int], range, slice, "Sel"]
 
 
+def _is_range_tuple(seldef) -> bool:
+    """The pymolar 2-tuple RANGE form: two real ints (bools excluded —
+    isinstance(True, int) holds, but (True, 3) is an index pair, not a
+    range)."""
+    return (
+        isinstance(seldef, tuple)
+        and len(seldef) == 2
+        and all(
+            isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+            for v in seldef
+        )
+    )
+
+
 class System:
     """Owns a topology and the current state; selections bind to it."""
 
@@ -55,6 +69,11 @@ class System:
         elif topology is None and state is None:
             topology = Topology.from_atoms([])
             state = State(coords=np.zeros((0, 3), FLOAT))
+        elif topology is None or state is None:
+            raise SelectionError(
+                "System takes no arguments, a filename, or BOTH a topology "
+                "and a state"
+            )
         if topology.n_atoms != state.n_atoms:
             raise SelectionError(
                 f"topology has {topology.n_atoms} atoms but state has {state.n_atoms}"
@@ -109,11 +128,7 @@ class System:
             if subset is not None:
                 idx = np.asarray(subset, dtype=np.int64).copy()
             return idx
-        if (
-            isinstance(seldef, tuple)
-            and len(seldef) == 2
-            and all(isinstance(v, (int, np.integer)) for v in seldef)
-        ):
+        if _is_range_tuple(seldef):
             # pymolar: a 2-tuple is the RANGE form (molar.pyi:117),
             # half-open [start, stop) like Python ranges; explicit index
             # LISTS stay the list form below.
@@ -328,6 +343,27 @@ class System:
         return _charges(self)
 
 
+def _combined_coords(sel1: "Sel", sel2: Optional["Sel"]) -> np.ndarray:
+    """One (N, 3) array with each selection's rows taken from ITS OWN
+    viewed state (selections may be rebound to different frames —
+    ``sel.state = st``). Overlapping atoms whose two states disagree are
+    ambiguous in a single-array search and raise."""
+    st1 = sel1.state
+    if sel2 is None or sel2.state is st1:
+        return st1.coords
+    both = np.intersect1d(sel1.indices, sel2.indices)
+    if len(both) and not np.array_equal(
+        st1.coords[both], sel2.state.coords[both]
+    ):
+        raise SelectionError(
+            "distance search between selections rebound to different "
+            "states with overlapping atoms is ambiguous"
+        )
+    coords = st1.coords.copy()
+    coords[sel2.indices] = sel2.state.coords[sel2.indices]
+    return coords
+
+
 def distance_search(
     cutoff,
     sel1: "Sel",
@@ -350,7 +386,8 @@ def distance_search(
         cutoff = float(2 * vdw.max() + 1e-6)
     idx2 = None if sel2 is None else sel2.indices
     return neighbor_host.search_pairs(
-        float(cutoff), st.coords, sel1.indices, idx2, box, pbc, vdw=vdw
+        float(cutoff), _combined_coords(sel1, sel2), sel1.indices, idx2,
+        box, pbc, vdw=vdw,
     )
 
 
@@ -452,11 +489,11 @@ class Sel:
 
     def __getitem__(self, k: int) -> "Particle":
         """k-th particle of the selection (reference particle.rs:4-17)."""
-        return Particle(self.system, int(self.indices[k]))
+        return Particle(self.system, int(self.indices[k]), owner=self)
 
     def __iter__(self):
         for i in self.indices:
-            yield Particle(self.system, int(i))
+            yield Particle(self.system, int(i), owner=self)
 
     # -- sub-selection / set algebra -------------------------------------------
 
@@ -471,6 +508,9 @@ class Sel:
             local = np.arange(seldef.start, seldef.stop, seldef.step, dtype=np.int64)
         elif isinstance(seldef, slice):
             local = np.arange(*seldef.indices(len(self)), dtype=np.int64)
+        elif _is_range_tuple(seldef):
+            # pymolar 2-tuple RANGE form, local like the other index defs
+            local = np.arange(seldef[0], seldef[1], dtype=np.int64)
         else:
             local = np.unique(np.asarray(seldef, dtype=np.int64))
         if len(local) == 0:
@@ -725,9 +765,11 @@ class Sel:
             setattr(state, f, a)
 
     def set_box_from(self, src) -> None:
-        """Copy the box of ``src`` (System or Sel) into the bound state
-        (molar.pyi:150)."""
-        self.state.box = src.state.box
+        """Copy the box of ``src`` (System or Sel) into the viewed state
+        (molar.pyi:150). A fresh PeriodicBox, never an alias — the same
+        no-alias invariant as System.set_box_from."""
+        b = src.state.box
+        self.state.box = None if b is None else PeriodicBox(b.matrix.copy())
 
     def iter_pos(self):
         """Yield each selected atom's position row (molar.pyi:167)."""
@@ -889,12 +931,16 @@ class Sel:
     # -- distance search ----------------------------------------------------------
 
     def within_of(self, cutoff: float, other: "Sel", pbc: PbcDims = PBC_NONE) -> "Sel":
-        """Atoms of self within cutoff of other (self-inclusive at d=0)."""
+        """Atoms of self within cutoff of other (self-inclusive at d=0).
+
+        Each selection's rows come from its own viewed state (selections
+        can be rebound per frame)."""
         from ..ops import neighbor_host
 
         box = self.state.box if pbc.any else None
         found = neighbor_host.search_within(
-            cutoff, self.state.coords, self.indices, other.indices, box, pbc
+            cutoff, _combined_coords(self, other), self.indices,
+            other.indices, box, pbc,
         )
         return Sel(self.system, found)
 
@@ -955,11 +1001,19 @@ class Particle:
     through the column arrays / device kernels).
     """
 
-    __slots__ = ("system", "index")
+    __slots__ = ("system", "index", "_owner")
 
-    def __init__(self, system: System, index: int):
+    def __init__(self, system: System, index: int, owner: "Sel | None" = None):
         self.system = system
         self.index = int(index)
+        # Particles obtained through a selection read/write that
+        # selection's (possibly rebound) state view — the live lookup
+        # keeps them consistent after `sel.state = st` (pymolar contract).
+        self._owner = owner
+
+    @property
+    def _st(self) -> State:
+        return self._owner.state if self._owner is not None else self.system.state
 
     # identity -------------------------------------------------------------
     @property
@@ -974,18 +1028,18 @@ class Particle:
     # position --------------------------------------------------------------
     @property
     def pos(self) -> np.ndarray:
-        return self.system.state.coords[self.index]
+        return self._st.coords[self.index]
 
     @pos.setter
     def pos(self, value) -> None:
-        self.system.state.coords[self.index] = np.asarray(value, FLOAT)
+        self._st.coords[self.index] = np.asarray(value, FLOAT)
 
     def _coord(axis):  # noqa: N805 - tiny descriptor factory
         def get(self):
-            return float(self.system.state.coords[self.index, axis])
+            return float(self._st.coords[self.index, axis])
 
         def set(self, value):
-            self.system.state.coords[self.index, axis] = value
+            self._st.coords[self.index, axis] = value
 
         return property(get, set)
 

@@ -213,9 +213,17 @@ class FileHandler:
 
     def write_state(self, data) -> None:
         """Write only the state/frame part of ``data`` (System/Sel/State) —
-        pymolar molar.pyi:96."""
+        pymolar molar.pyi:96. A bare State can only go to trajectory
+        formats; structure formats need atom records."""
         if isinstance(data, State):
-            self.write(None, data)
+            try:
+                self.write(None, data)
+            except AttributeError:
+                raise FileIoError(
+                    f"{self.path}: this format needs a topology to write — "
+                    "pass a System/Sel, or use a trajectory format "
+                    "(xtc/trr/dcd) for bare states"
+                ) from None
             return
         idx = getattr(data, "indices", None)
         self.write(data.topology, data.state, idx)

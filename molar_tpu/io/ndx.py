@@ -25,7 +25,7 @@ class NdxFile:
 
     def get_group_as_sel(self, gr_name: str, sys):
         """The named group as a selection of ``sys`` (molar.pyi:180)."""
-        return sys(list(int(i) for i in self.groups[gr_name]))
+        return sys(self.groups[gr_name])
 
     @staticmethod
     def read(path: str) -> "NdxFile":

@@ -171,6 +171,76 @@ def test_split_by_predicate(sysb):
     assert sorted(s[0].resid for s in parts) == [2, 4, 6]
 
 
+def test_particles_follow_rebound_state(sysb):
+    """Particles from a rebound selection read/write the REBOUND state
+    (round-4 review: they bypassed it to the system state)."""
+    sel = sysb("resid 1")
+    st2 = sysb.state.copy()
+    st2.coords = st2.coords + 100.0
+    sel.state = st2
+    np.testing.assert_allclose(sel[0].pos, sel.coords[0])
+    assert sel[0].x == pytest.approx(float(st2.coords[sel.indices[0], 0]))
+    sel[0].x = -5.0
+    assert st2.coords[sel.indices[0], 0] == pytest.approx(-5.0)
+    assert sysb.state.coords[sel.indices[0], 0] != pytest.approx(-5.0)
+    for p in sel:
+        assert p.pos[1] == pytest.approx(st2.coords[p.index, 1])
+
+
+def test_tuple_range_in_subselection_and_bool_exclusion(sysb):
+    sel = sysb("all")
+    assert len(sel((0, 10))) == 10  # local range, like the System form
+    # bools are NOT range endpoints
+    assert len(sysb((True, 3))) == 2  # index pair {0 (True), 3} -> 2 atoms
+    with pytest.raises(Exception):
+        System(sysb.topology, None)
+
+
+def test_mixed_state_neighbor_search(sysb):
+    """within_of/distance_search take each selection's rows from its own
+    viewed state (round-4 review: the other side's rows came from self's
+    state)."""
+    import molar_tpu as mt
+
+    a = sysb("resid 1")
+    b = sysb("resid 2")
+    st2 = sysb.state.copy()
+    st2.coords = st2.coords.copy()
+    # park b's atoms right on top of a's in the rebound state only
+    st2.coords[b.indices] = sysb.state.coords[a.indices][: len(b)]
+    b.state = st2
+    near = a.within_of(0.01, b)
+    assert len(near) == len(a)  # b (rebound) sits exactly on a
+    pairs, dist = mt.distance_search(0.01, a, b)
+    assert len(pairs) >= len(a)
+    # overlapping selections whose states DISAGREE on shared atoms are
+    # ambiguous (shared atoms that agree are fine, tested above)
+    st3 = sysb.state.copy()
+    st3.coords = st3.coords + 1.0  # every row moved, incl. the overlap
+    b_overlap = sysb("resid 1 2")
+    b_overlap.state = st3
+    with pytest.raises(Exception, match="ambiguous"):
+        a.within_of(0.01, b_overlap)
+
+
+def test_write_state_bare_state_to_structure_format_errors(sysb, tmp_path):
+    from molar_tpu.io import FileIoError
+
+    with FileHandler(str(tmp_path / "x.gro"), "w") as fh:
+        with pytest.raises(FileIoError, match="topology"):
+            fh.write_state(sysb.state)
+
+
+def test_set_box_from_never_aliases(sysb):
+    other = System(sysb.topology, sysb.state.copy())
+    other.state.box = PeriodicBox(np.diag([7.0, 8.0, 9.0]).astype(np.float32))
+    sysb("all").set_box_from(other)
+    assert sysb.state.box is not other.state.box
+    st = sysb.state.copy()
+    st.set_box_from(other)
+    assert st.box is not other.state.box
+
+
 def test_module_level_functions(sysb):
     a = sysb("resid 1")
     b = sysb("resid 2")
