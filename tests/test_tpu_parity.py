@@ -241,6 +241,56 @@ def test_delta_transport_bit_exact_on_device(frame):
     )
 
 
+def test_chunked_delta_transport_bit_exact_on_device(frame):
+    """Round-4 put_chunks form: chunked deltas reassembled in-graph must be
+    bit-identical to the single-array decode on the real chip."""
+    from molar_tpu.tasks.trajectory import _chunk_coords, decode_window_coords
+
+    coords, *_ = frame
+    ints0 = np.round(coords * 1000).astype(np.int16)
+    rng = np.random.default_rng(5)
+    deltas = rng.integers(-90, 90, (7, N_ATOMS, 3), dtype=np.int8)
+    scale = np.float32(1.0 / 1000.0)
+    whole = jax.jit(decode_window_coords)(
+        (jnp.asarray(ints0), jnp.asarray(deltas), scale)
+    )
+    chunked = _chunk_coords((ints0, deltas, scale), 3)
+    dev = jax.jit(decode_window_coords)(
+        jax.tree_util.tree_map(jnp.asarray, chunked)
+    )
+    np.testing.assert_array_equal(np.asarray(dev), np.asarray(whole))
+
+
+def test_subset_window_stream_matches_full_on_device(frame, tmp_path):
+    """Round-4 subset transport: a subset-sliced delta window decoded on
+    device equals the sliced full-frame decode (the workload wire path)."""
+    from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.tasks.trajectory import TrajectoryReader, decode_window_coords
+
+    coords, masses, sel, box = frame
+    p = str(tmp_path / "sub.xtc")
+    w = XtcHandler(p, "w")
+    rng = np.random.default_rng(7)
+    c = coords.copy()
+    for k in range(6):
+        c = c + rng.normal(0, 0.01, c.shape).astype(np.float32)
+        w.write_raw(c, box, step=k, time=float(k))
+    w.close()
+    fn = jax.jit(decode_window_coords)
+    full = [
+        np.asarray(fn(jax.device_put(cw)))
+        for cw, *_ in TrajectoryReader([p]).iter_windows(3, quantized="delta")
+    ]
+    sub = [
+        np.asarray(fn(jax.device_put(cw)))
+        for cw, *_ in TrajectoryReader([p]).iter_windows(
+            3, quantized="delta", subset=sel
+        )
+    ]
+    for f, s in zip(full, sub):
+        np.testing.assert_array_equal(s, f[:, sel])
+
+
 def test_membrane_window_matches_host(tmp_path):
     from molar_tpu.membrane import Membrane, MembraneDevice
 
