@@ -123,6 +123,25 @@ def test_filehandler_part_writes(sysb, tmp_path):
     )
 
 
+def test_write_topology_bare_topology(sysb, tmp_path):
+    """molar.pyi:95 accepts a bare Topology: coordinates are faked
+    (make_fake_state) since structure formats must write positions."""
+    p = str(tmp_path / "topo.pdb")
+    with FileHandler(p, "w") as fh:
+        fh.write_topology(sysb.topology)
+    re = System(p)
+    assert re.n_atoms == sysb.n_atoms
+    assert list(re("all").names[:1]) == ["CA"]
+
+
+def test_ndx_roundtrip_through_selection(sysb, tmp_path):
+    p = str(tmp_path / "rt.ndx")
+    sel = sysb("resid 2 4")
+    (tmp_path / "rt.ndx").write_text(sel.to_gromacs_ndx("pair"))
+    got = NdxFile(p).get_group_as_sel("pair", sysb)
+    np.testing.assert_array_equal(got.indices, sel.indices)
+
+
 def test_ndx_path_ctor_and_group_sel(sysb, tmp_path):
     p = str(tmp_path / "ix.ndx")
     ndx = NdxFile({"grp": np.array([0, 5, 7])})
