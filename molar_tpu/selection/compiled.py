@@ -122,6 +122,9 @@ def compile_selection(
                 V.CHARGE: topology.charge,
                 V.OCCUPANCY: topology.occupancy,
                 V.BFACTOR: topology.bfactor,
+                V.RESID: topology.resid,
+                V.RESINDEX: topology.resindex,
+                V.INDEX: np.arange(topology.n_atoms),
             }.get(e.var)
             if col is None and e.var is V.VDW:
                 z = np.clip(topology.atomic_number, 0, NUM_ELEMENTS - 1)

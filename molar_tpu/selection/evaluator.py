@@ -303,6 +303,12 @@ class EvalContext:
             return top.occupancy
         if var is V.BFACTOR:
             return top.bfactor
+        if var is V.RESID:
+            return top.resid.astype(np.float64)
+        if var is V.RESINDEX:
+            return top.resindex.astype(np.float64)
+        if var is V.INDEX:
+            return np.arange(top.n_atoms, dtype=np.float64)
         raise TypeError(var)
 
     # -- vectors ------------------------------------------------------------------

@@ -83,6 +83,12 @@ class MathVar(enum.Enum):
     VDW = "vdw"
     OCCUPANCY = "occupancy"
     BFACTOR = "bfactor"
+    # int atom attributes usable in comparisons ("10 < resid < 20" — the
+    # reference README's Numeric-comparisons contract; its own peg grammar
+    # omits them, a documented-but-unimplemented promise we honor)
+    RESID = "resid"
+    RESINDEX = "resindex"
+    INDEX = "index"
 
 
 @dataclass

@@ -537,6 +537,9 @@ class _Parser:
             ("occ", N.MathVar.OCCUPANCY),
             ("bfactor", N.MathVar.BFACTOR),
             ("beta", N.MathVar.BFACTOR),
+            ("resindex", N.MathVar.RESINDEX),
+            ("resid", N.MathVar.RESID),
+            ("index", N.MathVar.INDEX),
         ):
             p = self.lit(pos, kw)
             if p is not None:

@@ -321,3 +321,32 @@ def test_vmd_pteros_parity(ref_data):
             want = [int(x) for x in numbers.split()]
             got = idx(sys, sel)
             assert got == want, f"{fixture}: {sel}"
+
+
+def test_reference_readme_example_block(protein):
+    """Every selection string in the reference README's "Complete examples"
+    block (README.md:330-355) parses and evaluates here — including
+    `10 < resid < 20`, which the reference grammar itself cannot parse
+    (no int-attribute math operands) despite its README advertising it."""
+    import numpy as np
+
+    from molar_tpu.selection import SelectionExpr
+
+    top, st = protein.topology, protein.state
+    cases = [
+        "name CA", "resname ALA", "chain A",
+        "protein and backbone", "not water and not hydrogen",
+        "(resname ALA or resname GLY) and backbone",
+        "x < 0 and y < 0", "10 < resid < 20",
+        "within 5.0 of [0, 0, 0]",
+        "within 3.0 pbc of com of protein",
+        "backbone and chain A and resid 1:50",
+        "(protein or water) and within 10.0 of com of protein",
+    ]
+    for c in cases:
+        SelectionExpr(c).apply(top, st, None)  # must not raise
+    # the int-attribute comparison agrees with the keyword range form
+    a = SelectionExpr("545 <= resid <= 550").apply(top, st, None)
+    b = SelectionExpr("resid 545:550").apply(top, st, None)
+    np.testing.assert_array_equal(a, b)
+    assert len(SelectionExpr("index < 10").apply(top, st, None)) == 10

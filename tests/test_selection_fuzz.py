@@ -103,9 +103,9 @@ def fuzz_system(tmp_path_factory):
 NAMES = ["CA", "N", "C", "O", "CB", "OW", "HW1", "C1", "XX"]
 RESNAMES = ["ALA", "GLY", "LYS", "SOL", "LIG", "ZZZ"]
 KEYWORDS = ["protein", "water", "backbone", "sidechain", "hydrogen", "noh", "all"]
-# grammar math vars only (grammar.rs: x y z vx vy vz fx fy fz mass charge
-# vdw occupancy|occ bfactor|beta — resid/index are NOT math vars)
-MATH_VARS = ["x", "y", "z", "mass", "occupancy", "beta"]
+# grammar math vars (grammar.rs set + the README-promised int attributes
+# resid/resindex/index this grammar additionally supports as operands)
+MATH_VARS = ["x", "y", "z", "mass", "occupancy", "beta", "resid", "index"]
 
 
 def _gen_leaf(rng) -> str:
