@@ -148,7 +148,7 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
         outs.append(res)
         n += len(ids)
     jax.block_until_ready(outs)
-    return n, time.perf_counter() - t0
+    return n, time.perf_counter() - t0, outs
 
 
 def wl_ca_rmsd(system, xtc, window, runner=None):
@@ -171,7 +171,11 @@ def wl_ca_rmsd(system, xtc, window, runner=None):
             return carry, rmsd
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window, runner, subset=sel.indices)
+    n, el, outs = _timed_stream(fn, xtc, window, runner, subset=sel.indices)
+    # Self-check: mean per-frame RMSD, the exact scalar
+    # native_workloads.cpp wl_ca_rmsd emits as "check".
+    vals = np.concatenate([np.asarray(o).ravel() for o in outs])
+    return n, el, {"check": float(vals.mean())}
 
 
 def wl_com_splits(system, xtc, window, runner=None):
@@ -204,7 +208,11 @@ def wl_com_splits(system, xtc, window, runner=None):
             return carry, (com, jnp.sqrt(g2))
         return jax.lax.scan(per_frame, 0, coords)[1]
 
-    return _timed_stream(fn, xtc, window, runner, subset=sel.indices)
+    n, el, outs = _timed_stream(fn, xtc, window, runner, subset=sel.indices)
+    # Self-check: mean over frames of the mean per-segment gyration radius
+    # (native wl_com_gyr's "check").
+    gyr = np.concatenate([np.asarray(o[1]) for o in outs])  # (N, nseg)
+    return n, el, {"check": float(gyr.mean(axis=1).mean())}
 
 
 def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
@@ -236,7 +244,18 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
             return carry, (cnt, ofl)
         return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
-    return _timed_stream(fn, xtc, window, runner, subset=subset)
+    n, el, outs = _timed_stream(fn, xtc, window, runner, subset=subset)
+    cnt = np.concatenate([np.asarray(o[0]).ravel() for o in outs])
+    ofl = np.concatenate([np.asarray(o[1]).ravel() for o in outs])
+    if ofl.any():
+        raise RuntimeError("contacts workload overflowed its pair capacity — "
+                           "the fps would be measuring truncated output")
+    if cnt.sum() == 0:
+        raise RuntimeError("contacts workload found ZERO contacts across the "
+                           "whole stream — trivially empty accumulation "
+                           "(broken search or broken inputs)")
+    # Self-check: mean contact count per frame (native wl_contacts' "check").
+    return n, el, {"check": float(cnt.mean())}
 
 
 def wl_sasa(system, xtc, window):
@@ -313,7 +332,14 @@ def wl_sasa(system, xtc, window):
         jax.block_until_ready(outs)
         el = time.perf_counter() - t0
         if not any(bool(np.any(np.asarray(o[1]))) for o in outs):
-            return n, el
+            # Self-check: mean per-frame TOTAL area (native wl_sasa's
+            # "check"); a ~zero total means the neighbor lists or slicing
+            # silently collapsed — fail loudly instead of benchmarking it.
+            tot = np.concatenate([np.asarray(o[0]) for o in outs]).sum(axis=1)
+            if not np.all(tot > 0):
+                raise RuntimeError("sasa workload produced a zero-area frame "
+                                   "— trivially empty accumulation")
+            return n, el, {"check": float(tot.mean())}
         print(f"#   sasa: capacity overflow at tier {tier}, escalating",
               file=sys.stderr)
     raise RuntimeError("sasa workload still overflows at the largest tier")
@@ -322,25 +348,18 @@ def wl_sasa(system, xtc, window):
 def wl_trjconv(system, xtc):
     """The reference's trjconv workload (comparison_small.rs:44-57): stream
     the XTC, write the protein selection to DCD per frame. Host-IO-bound by
-    design — it measures the decode/write path, not the device."""
-    from molar_tpu.core.state import State
-    from molar_tpu.io.dcd import DcdHandler
-    from molar_tpu.io.xtc import XtcHandler
+    design — it measures the decode/write path, not the device. Uses the
+    io.trjconv prefix-decode fast path (protein-first topology: only
+    max(sel)+1 of the atoms are ever decoded)."""
+    from molar_tpu.io.trjconv import trjconv
 
     sel = system("resname ALA")
-    idx = sel.indices
     out_path = os.path.join(tempfile.mkdtemp(prefix="molar_trjconv_"), "out.dcd")
-    r = XtcHandler(xtc)
-    w = DcdHandler(out_path, "w")
-    n = 0
     t0 = time.perf_counter()
-    for k in range(r.n_frames):
-        st = r.read_frame(k)
-        w.write(system.topology, st, indices=idx)
-        n += 1
-    w.close()
-    r.close()
-    return n, time.perf_counter() - t0
+    n = trjconv(xtc, out_path, sel.indices)
+    # Self-check: the written artifact itself — main() reads this DCD back
+    # and compares coordinates against the native denominator's DCD.
+    return n, time.perf_counter() - t0, {"dcd_path": out_path}
 
 
 def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6,
@@ -424,13 +443,19 @@ tails = ["C1-C2-C3-C4"]
         for o in outs:
             dev.accumulate(o)
         memb.finalize()
-        return n_frames, time.perf_counter() - t0
+        return n_frames, time.perf_counter() - t0, _membrane_device_checks(dev, outs)
+    # Host paths stash a MembraneDevice too — it carries the serialized
+    # problem (_write_membrane_native) so the native denominator runs on
+    # the exact same frames this row processed.
+    from molar_tpu.membrane.device import MembraneDevice
+
     if shards > 1:
         membs = []
         for s in range(shards):
             m = Membrane(system, toml)
             m.add_ids_to_group("all", range(len(m.lipids)))
             membs.append(m)
+        _MEMBRANE_RUNS[stash_key or "membrane"] = (MembraneDevice(membs[0]), frames)
         t0 = time.perf_counter()
         per = (n_frames + shards - 1) // shards
         for s, m in enumerate(membs):
@@ -441,18 +466,101 @@ tails = ["C1-C2-C3-C4"]
         for m in membs[1:]:
             root.merge_stats_from(m)
         root.finalize()
-        return n_frames, time.perf_counter() - t0
+        return n_frames, time.perf_counter() - t0, _membrane_host_checks(root)
     memb = Membrane(system, toml)
     memb.add_ids_to_group("all", range(len(memb.lipids)))
+    _MEMBRANE_RUNS[stash_key or "membrane"] = (MembraneDevice(memb), frames)
     t0 = time.perf_counter()
     for c in frames:
         system.state.coords = c
         memb.compute()
     memb.finalize()
-    return n_frames, time.perf_counter() - t0
+    return n_frames, time.perf_counter() - t0, _membrane_host_checks(memb)
 
 
 _MEMBRANE_RUNS = {}  # row name -> (MembraneDevice, frames) of device runs
+
+# Device-vs-native check tolerances. The streams are bit-identical f32 XTC
+# decodes on both sides; differences are accumulation order + f32-vs-f64
+# arithmetic. Calibrated on CPU-backend runs (see tests/test_workload_checks
+# .py); the TPU kernels hold the same bounds because the hot paths use
+# elementwise/HIGHEST-precision math (CLAUDE.md bf16-MXU rule).
+CHECK_RTOL = {"ca_rmsd": 2e-3, "com_splits": 2e-3, "contacts": 2e-3,
+              "sasa": 2e-3}
+MEMBRANE_TOL = {  # label -> (rtol, atol); curvature is ~0 on flat bilayers,
+    "check_area": (1e-2, 0.0),  # so those bounds are atol-led
+    "check_mean": (5e-2, 5e-4),
+    "check_order": (5e-2, 2e-3),
+}
+
+
+def _membrane_device_checks(dev, outs_list):
+    """Reduce a device run's window outputs to the scalars
+    benchmarks/native_membrane.cpp emits (check_area / check_mean /
+    check_order: means over frames x VALID lipids), failing loudly on an
+    empty accumulation — the rounds-1-3 silent-empty-stats failure mode."""
+    n_valid = 0
+    a_sum = m_sum = o_sum = 0.0
+    o_n = 0
+    for o in outs_list:
+        v = np.asarray(o["valid"], bool)  # (B, L)
+        n_valid += int(v.sum())
+        a_sum += float(np.asarray(o["area"])[v].sum())
+        m_sum += float(np.asarray(o["mean_curv"])[v].sum())
+        for sp in dev.species_names:
+            vsp = v[:, dev._sp_lipids[sp]]  # (B, n_sp)
+            for t in o["order"][sp]:
+                t = np.asarray(t)
+                o_sum += float(np.where(vsp[..., None], t, 0.0).sum())
+                o_n += int(vsp.sum()) * t.shape[-1]
+    if n_valid == 0:
+        raise RuntimeError(
+            "membrane workload: ZERO valid lipids across the whole stream — "
+            "trivially empty accumulation; the fps would measure nothing"
+        )
+    return {"check_area": a_sum / n_valid, "check_mean": m_sum / n_valid,
+            "check_order": (o_sum / o_n) if o_n else 0.0}
+
+
+def _membrane_host_checks(memb):
+    """The host pipeline's equivalents of the native check scalars, from the
+    group Welford statistics (per-frame means of per-lipid means; equal to
+    the native global means when the valid-lipid count is constant, which
+    the flat synthetic bilayer guarantees)."""
+    gr = memb.groups["all"]
+    assert len(gr.per_species) == 1, "workload bilayers are single-species"
+    st = next(iter(gr.per_species.values()))
+    if st["count"].n == 0 or float(st["count"].mean) == 0.0:
+        raise RuntimeError(
+            "membrane workload: ZERO valid lipids across the whole stream — "
+            "trivially empty accumulation; the fps would measure nothing"
+        )
+    order = 0.0
+    if st["order"]:
+        order = float(np.mean([np.mean(s.mean) for s in st["order"]]))
+    return {"check_area": float(np.mean(st["area"].mean)),
+            "check_mean": float(np.mean(st["mean_curv"].mean)),
+            "check_order": order}
+
+
+def _compare_dcd(dev_path, nat_path):
+    """Max abs coordinate difference (nm) between two written DCDs — the
+    trjconv rows are verified on the artifact itself, not a side scalar."""
+    from molar_tpu.io.dcd import DcdHandler
+
+    a, b = DcdHandler(dev_path), DcdHandler(nat_path)
+    try:
+        if a.n_frames != b.n_frames or a.n_atoms != b.n_atoms:
+            return float("inf")
+        md = 0.0
+        for k in range(a.n_frames):
+            ca = a.read_frame(k).coords
+            cb = b.read_frame(k).coords
+            md = max(md, float(np.abs(ca - cb).max()))
+        return md
+    finally:
+        a.close()
+        b.close()
 
 
 def _write_membrane_native(dev, frames, path):
@@ -594,7 +702,7 @@ def _native_exe():
     return exe
 
 
-def run_native(system, xtc, which="all"):
+def run_native(system, xtc, which="all", dcd_out=None):
     """Single-core native denominators (run strictly AFTER device timing —
     one host core, CLAUDE.md contention rule). Returns {workload: fps}."""
     import subprocess
@@ -605,7 +713,7 @@ def run_native(system, xtc, which="all"):
     meta = xtc + ".meta"
     if not os.path.exists(meta):
         _write_native_meta(system, meta)
-    cmd = [exe, which, xtc, meta]
+    cmd = [exe, which, xtc, meta, "0", dcd_out or xtc + ".native.dcd"]
     out = subprocess.run(cmd, check=True, capture_output=True, text=True)
     res = {}
     for line in out.stdout.splitlines():
@@ -688,25 +796,44 @@ def main() -> int:
         "trjconv": lambda: wl_trjconv(system, xtc),
     }
     out = {}
+    checks = {}
     for name, job in jobs.items():
         if args.which not in ("all", name):
             continue
-        n, el = job()
+        n, el, chk = job()
+        checks[name] = chk
         out[name] = {"frames": n, "sec": round(el, 3),
                      "fps": round(n / el, 2) if el > 0 else None}
         print(json.dumps({name: out[name]}), flush=True)
 
     # Native single-core denominators, strictly after all device work.
+    failures = []
     if not args.no_native and not args.files:
         native_map = {"ca_rmsd": "ca_rmsd", "com_splits": "com_gyr",
                       "contacts": "contacts", "sasa": "sasa",
                       "trjconv": "trjconv"}
-        which = native_map.get(args.which, "all")
+        # membrane rows have their own denominator binary; don't run the
+        # five scalar natives for them
+        which = native_map.get(args.which,
+                               "all" if args.which == "all" else "none")
+        nat_dcd = xtc + ".native.dcd"
         try:
-            nat = run_native(system, xtc, which)
+            nat = run_native(system, xtc, which, dcd_out=nat_dcd)
         except Exception as e:  # denominator failure must not kill the run
             print(f"# native denominators failed: {e}", file=sys.stderr)
             nat = {}
+
+        def verify(row, dev_val, nat_val, rtol, atol, label="check"):
+            ok = abs(dev_val - nat_val) <= atol + rtol * abs(nat_val)
+            out[row][f"{label}_dev"] = float(f"{dev_val:.6g}")
+            out[row][f"{label}_native"] = float(f"{nat_val:.6g}")
+            out[row][f"{label}_ok"] = bool(ok)
+            if not ok:
+                failures.append(
+                    f"{row}/{label}: device {dev_val:.6g} vs native "
+                    f"{nat_val:.6g} (rtol {rtol:g} atol {atol:g})"
+                )
+
         for dev_name, nat_name in native_map.items():
             if nat_name in nat and dev_name in out:
                 r = nat[nat_name]
@@ -715,10 +842,20 @@ def main() -> int:
                 out[dev_name]["vs_native"] = (
                     round(dev_fps / r["fps"], 2) if dev_fps else None
                 )
-        # Membrane denominators run on the exact frames each device row saw
-        # (membrane_dev's 72-lipid frames also stand in for the host
-        # "membrane" row — same construction, same per-frame work).
+                # Float-precision output verification against the native
+                # denominator's check scalar — a row that cannot match is a
+                # row whose fps measures the wrong (or empty) computation.
+                if dev_name == "trjconv":
+                    md = _compare_dcd(checks[dev_name]["dcd_path"], nat_dcd)
+                    verify(dev_name, md, 0.0, 0.0, 1e-6, label="dcd_maxdiff")
+                else:
+                    rtol = CHECK_RTOL[dev_name]
+                    verify(dev_name, checks[dev_name]["check"], r["check"],
+                           rtol, 0.0)
+        # Membrane denominators run on the exact frames each row saw.
         for key, stash in _MEMBRANE_RUNS.items():
+            if key not in out:
+                continue
             try:
                 r = run_native_membrane(*stash)
             except Exception as e:
@@ -727,20 +864,27 @@ def main() -> int:
             if not r:
                 continue
             nat["native_" + key] = r
-            rows = (key, "membrane") if key == "membrane_dev" else (key,)
-            for row in rows:
-                if row in out:
-                    out[row]["native_fps"] = round(r["fps"], 2)
-                    if out[row]["fps"]:
-                        out[row]["vs_native"] = round(
-                            out[row]["fps"] / r["fps"], 2
-                        )
+            out[key]["native_fps"] = round(r["fps"], 2)
+            if out[key]["fps"]:
+                out[key]["vs_native"] = round(out[key]["fps"] / r["fps"], 2)
+            for lbl, (rtol, atol) in MEMBRANE_TOL.items():
+                verify(key, checks[key][lbl], r[lbl], rtol, atol, label=lbl)
         if nat:
             print(json.dumps({"native_1core": {
                 k: round(v["fps"], 2) for k, v in nat.items()}}), flush=True)
             print(json.dumps({"vs_native": {
                 k: v["vs_native"] for k, v in out.items()
                 if v.get("vs_native") is not None}}), flush=True)
+            print(json.dumps({"checks": {
+                k: {c: v[c] for c in v if "check" in c or "maxdiff" in c}
+                for k, v in out.items()}}), flush=True)
+    if failures:
+        print(json.dumps({"check_failures": failures}), flush=True)
+        print("CHECK FAILURES — the fps above measure the WRONG computation:",
+              file=sys.stderr)
+        for f in failures:
+            print(f"  {f}", file=sys.stderr)
+        return 1
     return 0
 
 

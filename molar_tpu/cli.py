@@ -32,7 +32,37 @@ def cmd_info(args) -> int:
     from . import __version__
 
     print(f"molar_tpu {__version__}")
-    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    # Backend init can hang for good (axon tunnel outages last hours, see
+    # CLAUDE.md) -- probe in a killable subprocess instead of calling
+    # jax.devices() in-process, mirroring bench.py's loud-failure probe.
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=args.timeout,
+        )
+        devices = (out.stdout.strip().splitlines() or ["<no output>"])[-1] \
+            if out.returncode == 0 else f"<probe failed: rc={out.returncode}>"
+    except subprocess.TimeoutExpired:
+        devices = f"<backend unavailable: probe timed out after {args.timeout}s>"
+    print(f"jax {jax.__version__}, devices: {devices}")
+    return 0
+
+
+def cmd_trjconv(args) -> int:
+    from .core.system import System
+    from .io.trjconv import trjconv
+
+    sys_ = System.from_file(args.structure)
+    sel = sys_(args.select) if args.select else sys_()
+    if len(sel) == 0:
+        print(f"error: selection {args.select!r} matched no atoms",
+              file=sys.stderr)
+        return 1
+    n = trjconv(args.input, args.output, sel.indices,
+                first=args.begin, last=args.end, step=args.skip)
+    print(f"wrote {n} frames x {len(sel)} atoms to {args.output}")
     return 0
 
 
@@ -259,7 +289,9 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="molar", description=__doc__)
     sub = parser.add_subparsers(dest="command")
 
-    sub.add_parser("info", help="print version and backend info")
+    p_info = sub.add_parser("info", help="print version and backend info")
+    p_info.add_argument("--timeout", type=float, default=60.0,
+                        help="backend probe timeout, seconds (default 60)")
 
     p = sub.add_parser("last", help="extract the last trajectory frame")
     p.add_argument("-f", "--files", nargs="+", required=True)
@@ -281,6 +313,23 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
 
+    p = sub.add_parser(
+        "trjconv",
+        help="convert a trajectory selection (XTC -> DCD, prefix-decode "
+        "fast path)",
+    )
+    p.add_argument("-s", "--structure", required=True,
+                   help="structure file defining the topology")
+    p.add_argument("-f", "--input", required=True, help="input XTC")
+    p.add_argument("-o", "--output", required=True, help="output DCD")
+    p.add_argument("--select", default=None,
+                   help="selection expression (default: all atoms)")
+    p.add_argument("-b", "--begin", type=int, default=0,
+                   help="first frame index")
+    p.add_argument("-e", "--end", type=int, default=None,
+                   help="stop frame index (exclusive)")
+    p.add_argument("--skip", type=int, default=1, help="frame stride")
+
     p = sub.add_parser("membrane", help="lipid membrane analysis (TOML-configured)")
     p.add_argument("-f", "--files", nargs="+", required=True,
                    help="structure file then trajectory file(s)")
@@ -298,6 +347,7 @@ def main(argv=None) -> int:
         "rearrange": cmd_rearrange,
         "solvate": cmd_solvate,
         "tip3to4": cmd_tip3to4,
+        "trjconv": cmd_trjconv,
         "membrane": cmd_membrane,
     }
     if args.command is None:

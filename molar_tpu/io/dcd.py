@@ -256,6 +256,34 @@ class DcdHandler(FormatHandler):
                 struct.pack(f"{e}i", n * 4) + block + struct.pack(f"{e}i", n * 4)
             )
 
+    def write_frame_raw(self, xyz: np.ndarray, cell6: np.ndarray) -> None:
+        """Fast append for streaming converters (io/trjconv.py): ``xyz`` is
+        the (3, n) f32 X/Y/Z rows ALREADY in Angstrom, ``cell6`` the raw
+        48-byte unit-cell record [A, cos g, B, cos b, cos a, C] (lengths in
+        Angstrom). One buffered write per frame, no State/PeriodicBox churn;
+        byte-identical to the :meth:`write` path for the same frame."""
+        if self.mode != "w":
+            raise NotWritableError("dcd handler opened read-only")
+        n = xyz.shape[1]
+        if self._n_atoms is None:
+            self._n_atoms = n
+            self._write_header(n)
+        elif n != self._n_atoms:
+            raise MalformedFileError("dcd frames must have a constant atom count")
+        e = "<"
+        nb = struct.pack(f"{e}i", n * 4)
+        self._fh.write(b"".join((
+            struct.pack(f"{e}i", 48),
+            np.ascontiguousarray(cell6, dtype=f"{e}f8").tobytes(),
+            struct.pack(f"{e}ii", 48, n * 4),
+            np.ascontiguousarray(xyz[0], dtype=f"{e}f4").tobytes(),
+            nb, nb,
+            np.ascontiguousarray(xyz[1], dtype=f"{e}f4").tobytes(),
+            nb, nb,
+            np.ascontiguousarray(xyz[2], dtype=f"{e}f4").tobytes(),
+            nb,
+        )))
+
     def close(self) -> None:
         if self._mm is not None:
             self._buf.release()

@@ -161,6 +161,78 @@ class XtcHandler(FormatHandler):
             )
         return int(step.value), float(time.value), box9
 
+    # Run-flag dialect of this file (0 canonical, 1 sticky/molly), detected
+    # lazily by one strict full decode — prefix decodes cannot re-validate
+    # the dialect themselves, so they reuse this.
+    _sticky: Optional[int] = None
+
+    def _dialect(self) -> int:
+        if self._sticky is None:
+            coords = np.empty((self._natoms, 3), dtype=np.float32)
+            box9 = np.empty(9, dtype=np.float32)
+            step = ctypes.c_int32()
+            time = ctypes.c_float()
+            prec = ctypes.c_float()
+            sticky = ctypes.c_int32()
+            off = int(self._offsets[0])
+            n = self._lib.xtc_decode_frame_detect(
+                self._data[off:].ctypes.data_as(_u8p),
+                len(self._mm) - off,
+                coords.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(step), ctypes.byref(time),
+                ctypes.byref(prec), ctypes.byref(sticky),
+            )
+            if n != self._natoms:
+                raise MalformedFileError(
+                    f"xtc dialect detection failed in {self.path}"
+                )
+            self._sticky = sticky.value
+        return self._sticky
+
+    PREFIX_SLACK = 10  # run-group overshoot slack rows (xtc_codec.cpp)
+
+    def decode_prefix(
+        self, i: int, n_atoms: int, coords_out: Optional[np.ndarray] = None
+    ) -> tuple[np.ndarray, int, float, np.ndarray]:
+        """Decode only the FIRST ``n_atoms`` atoms of frame ``i``.
+
+        XDR3DFR is a sequential per-atom stream, so a selection confined to
+        low atom indices (protein-first GROMACS topologies) can skip
+        decoding the solvent tail entirely — the big win for trjconv-style
+        streaming (the reference's molly codec has no such entry point,
+        molar/src/io/xtc_handler.rs full-frame decode only).
+
+        ``coords_out``: optional reusable ``(n_atoms + PREFIX_SLACK, 3)``
+        f32 buffer. Returns ``(coords_view (n_atoms, 3), step, time,
+        box9)`` — the view aliases the buffer; copy it to retain across
+        calls.
+        """
+        if not 0 <= i < self.n_frames:
+            raise SeekError(f"frame {i} out of range (0..{self.n_frames - 1})")
+        n_atoms = min(n_atoms, self._natoms)
+        if coords_out is None:
+            coords_out = np.empty((n_atoms + self.PREFIX_SLACK, 3), np.float32)
+        sticky = self._dialect()
+        off = int(self._offsets[i])
+        box9 = np.empty(9, dtype=np.float32)
+        step = ctypes.c_int32()
+        time = ctypes.c_float()
+        n = self._lib.xtc_decode_frame_prefix(
+            self._data[off:].ctypes.data_as(_u8p),
+            len(self._mm) - off,
+            coords_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n_atoms,
+            box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(step), ctypes.byref(time),
+            sticky,
+        )
+        if n != self._natoms:
+            raise MalformedFileError(
+                f"xtc prefix decode failed at frame {i} in {self.path}"
+            )
+        return coords_out[:n_atoms], int(step.value), float(time.value), box9
+
     def read_frame(self, i: int) -> State:
         """Random-access decode of frame i."""
         if not 0 <= i < self.n_frames:

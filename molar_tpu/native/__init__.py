@@ -73,6 +73,15 @@ def load() -> ctypes.CDLL:
         lib.xtc_decode_frame_buf.argtypes = [
             u8p, ctypes.c_long, f32p, f32p, i32p, f32p, f32p,
         ]
+        lib.xtc_decode_frame_detect.restype = ctypes.c_int
+        lib.xtc_decode_frame_detect.argtypes = [
+            u8p, ctypes.c_long, f32p, f32p, i32p, f32p, f32p, i32p,
+        ]
+        lib.xtc_decode_frame_prefix.restype = ctypes.c_int
+        lib.xtc_decode_frame_prefix.argtypes = [
+            u8p, ctypes.c_long, f32p, ctypes.c_int32, f32p, i32p, f32p,
+            ctypes.c_int32,
+        ]
         i16p = ctypes.POINTER(ctypes.c_int16)
         lib.xtc_decode_frame_buf_i16.restype = ctypes.c_int
         lib.xtc_decode_frame_buf_i16.argtypes = [

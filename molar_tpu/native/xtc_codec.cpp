@@ -300,10 +300,19 @@ struct I16Store {
 // [minint, maxint] envelope (true of any correctly-decoded stream, since
 // the writer derives the envelope from the full frame), the atom count
 // must land exactly on lsize, and the bit cursor must stay in bounds.
+// `n_want`: decode only the first n_want atoms and stop (clamped to the
+// frame's atom count; pass INT32_MAX for a full decode). XDR3DFR is a
+// sequential per-atom stream, so a selection confined to low atom indices
+// (e.g. protein-first GROMACS topologies) skips the tail entirely — full
+// strict validation (i == lsize) is impossible then, so early-stop callers
+// must already know the run-flag dialect. A run group may overshoot the
+// requested count by up to 10 atoms (run <= 30, 3 ints/atom): the output
+// buffer needs 10 atoms of slack beyond n_want.
 template <class Store>
 static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
                            float* box9, int32_t* step, float* time,
-                           float* precision_out, bool sticky_runs) {
+                           float* precision_out, bool sticky_runs,
+                           int32_t n_want) {
   Cursor c{buf, (size_t)buflen};
   int32_t magic = c.i32();
   if (!c.ok || magic != XTC_MAGIC) return -1;
@@ -313,6 +322,7 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
   for (int i = 0; i < 9; i++) box9[i] = c.f32();
   int32_t lsize = c.i32();
   if (!c.ok || lsize != natoms || natoms < 0) return -1;
+  if (n_want > lsize) n_want = lsize;
 
   if (natoms <= 9) {
     if (precision_out) *precision_out = 0.0f;
@@ -438,9 +448,10 @@ static int xtc_decode_core(const uint8_t* buf, long buflen, Store& st,
     if (smallidx < 0 || smallidx > LASTIDX) return -1;
     sizesmall[0] = sizesmall[1] = sizesmall[2] = (uint32_t)magicints[smallidx];
     if (!br.ok) return -1;
+    if (i >= n_want) break;  // early stop: caller wanted only a prefix
   }
 #undef MOLAR_ENV_CHECK
-  if (!env_ok || i != lsize) return -3;  // decoded, but fails validation:
+  if (!env_ok || i < n_want) return -3;  // decoded, but fails validation:
                                          // caller retries the other dialect
   return st.ok ? natoms : -2;
 }
@@ -496,12 +507,49 @@ int xtc_decode_frame_buf(const uint8_t* buf, long buflen, float* coords,
                          float* precision_out) {
   FloatStore st{coords};
   int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
-                          /*sticky_runs=*/false);
+                          /*sticky_runs=*/false, INT32_MAX);
   if (n < 0) {
     FloatStore st2{coords};
     n = xtc_decode_core(buf, buflen, st2, box9, step, time, precision_out,
-                        /*sticky_runs=*/true);
+                        /*sticky_runs=*/true, INT32_MAX);
   }
+  return n < 0 ? -1 : n;
+}
+
+// Full strict decode that also reports which run-flag dialect parsed the
+// stream (0 canonical, 1 sticky/molly) — callers that will follow up with
+// prefix decodes need it, since a prefix cannot be dialect-validated.
+int xtc_decode_frame_detect(const uint8_t* buf, long buflen, float* coords,
+                            float* box9, int32_t* step, float* time,
+                            float* precision_out, int32_t* sticky_out) {
+  FloatStore st{coords};
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
+                          /*sticky_runs=*/false, INT32_MAX);
+  if (n >= 0) {
+    *sticky_out = 0;
+    return n;
+  }
+  FloatStore st2{coords};
+  n = xtc_decode_core(buf, buflen, st2, box9, step, time, precision_out,
+                      /*sticky_runs=*/true, INT32_MAX);
+  if (n >= 0) *sticky_out = 1;
+  return n < 0 ? -1 : n;
+}
+
+// Decode only the first `n_want` atoms of a frame under a KNOWN dialect
+// (from xtc_decode_frame_detect on any full frame of the same file) and
+// stop — a selection confined to low atom indices skips decoding the tail
+// entirely. `coords` must hold n_want + 10 atoms (run-group overshoot
+// slack; see xtc_decode_core). Returns the frame's total atom count on
+// success (only the first n_want rows of coords are valid), -1 on error.
+int xtc_decode_frame_prefix(const uint8_t* buf, long buflen, float* coords,
+                            int32_t n_want, float* box9, int32_t* step,
+                            float* time, int32_t sticky_runs) {
+  if (n_want < 1) return -1;
+  FloatStore st{coords};
+  float prec;
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, &prec,
+                          sticky_runs != 0, n_want);
   return n < 0 ? -1 : n;
 }
 
@@ -515,11 +563,11 @@ int xtc_decode_frame_buf_i16(const uint8_t* buf, long buflen, int16_t* coords,
                              float* precision_out) {
   I16Store st{coords};
   int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
-                          /*sticky_runs=*/false);
+                          /*sticky_runs=*/false, INT32_MAX);
   if (n == -1 || n == -3) {
     I16Store st2{coords};
     n = xtc_decode_core(buf, buflen, st2, box9, step, time, precision_out,
-                        /*sticky_runs=*/true);
+                        /*sticky_runs=*/true, INT32_MAX);
   }
   if (n == -3) n = -1;
   if (n >= 0 && (precision_out && *precision_out == 0.0f)) return -2;
