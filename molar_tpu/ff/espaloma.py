@@ -9,14 +9,29 @@ hardness, followed by the closed-form equilibration
 ``q_i = -e_i/s_i + (1/s_i) (sum e_j/s_j)/(sum 1/s_j)`` (total charge 0).
 
 The ONNX graph (MatMul/Add/Relu/Tanh/Gather only) is executed by a ~40-line
-interpreter over the parsed graph (:mod:`molar_tpu.ff.onnx_mini`) in numpy —
-n is tiny (one molecule), so the host path is the right one; the math is jax-
-compatible if batched evaluation is ever needed.
+interpreter over the parsed graph (:mod:`molar_tpu.ff.onnx_mini`). Two
+backends share that interpreter:
+
+- numpy (:func:`run_gnn`) — always available, the ground truth;
+- jitted jax (:func:`run_gnn_jax`) — the same node walk traced into ONE
+  XLA program per padded molecule size (atoms padded to a 16-multiple
+  bucket so 60-atom drug-likes hit a handful of cached compiles). MatMuls
+  run at ``Precision.HIGHEST`` so the TPU's default-bf16 MXU cannot move
+  charges (parity ≤1e-5 vs numpy; reference runs tract on the CPU,
+  molar_ff/src/charge.rs:27,290-307).
+
+Dispatch (:func:`espaloma_charges`): the jax path is used when the process
+is already a jax process (``"jax" in sys.modules``) or
+``MOLAR_ESPALOMA_BACKEND=jax``; pure-host CLI paths keep the numpy walk —
+importing jax (and possibly waking a remote TPU backend) to charge one
+small molecule would cost more than it saves. ``MOLAR_ESPALOMA_BACKEND=
+numpy`` forces the host walk.
 """
 
 from __future__ import annotations
 
 import os
+import sys
 from functools import lru_cache
 
 import numpy as np
@@ -51,33 +66,97 @@ def _graph() -> Graph:
     )
 
 
-def run_gnn(features: np.ndarray, adj_mean: np.ndarray):
-    """Execute the parsed graph -> (e, s) per atom."""
-    g = _graph()
-    env: dict[str, np.ndarray] = dict(g.initializers)
-    env["features"] = features.astype(np.float32)
-    env["adjacency_mean"] = adj_mean.astype(np.float32)
+def _walk_graph(g: Graph, env: dict, matmul, relu, tanh, take):
+    """Interpret the node list with the given primitive set.
+
+    One walk serves both backends: with numpy primitives it executes
+    eagerly; with jnp primitives inside ``jax.jit`` it *traces*, so the
+    whole GNN becomes a single fused XLA program."""
     for node in g.nodes:
         ins = [env[i] for i in node.inputs]
         op = node.op_type
         if op == "MatMul":
-            out = ins[0] @ ins[1]
+            out = matmul(ins[0], ins[1])
         elif op == "Add":
             out = ins[0] + ins[1]
         elif op == "Relu":
-            out = np.maximum(ins[0], 0)
+            out = relu(ins[0])
         elif op == "Tanh":
-            out = np.tanh(ins[0])
+            out = tanh(ins[0])
         elif op == "Gather":
             axis = node.attrs.get("axis")
             ax = axis.i if axis is not None and axis.i is not None else 0
-            out = np.take(ins[0], ins[1], axis=ax)
+            out = take(ins[0], ins[1], ax)
         else:
             raise EspalomaError(f"unsupported op {op}")
         env[node.outputs[0]] = out
-    e = np.asarray(env[g.outputs[0]]).reshape(-1)
-    s = np.asarray(env[g.outputs[1]]).reshape(-1)
-    return e, s
+    return env[g.outputs[0]], env[g.outputs[1]]
+
+
+def run_gnn(features: np.ndarray, adj_mean: np.ndarray):
+    """Execute the parsed graph -> (e, s) per atom (numpy ground truth)."""
+    g = _graph()
+    env: dict[str, np.ndarray] = dict(g.initializers)
+    env["features"] = features.astype(np.float32)
+    env["adjacency_mean"] = adj_mean.astype(np.float32)
+    e, s = _walk_graph(
+        g, env,
+        matmul=lambda a, b: a @ b,
+        relu=lambda a: np.maximum(a, 0),
+        tanh=np.tanh,
+        take=lambda a, i, ax: np.take(a, i, axis=ax),
+    )
+    return np.asarray(e).reshape(-1), np.asarray(s).reshape(-1)
+
+
+@lru_cache(maxsize=None)
+def _jax_forward(n_pad: int):
+    """Jitted (features, adj) -> (e, s) for one padded atom count.
+
+    Cached per bucket: molecules are padded up to 16-multiples, so a
+    typical small-molecule corpus compiles a handful of programs total.
+    HIGHEST matmul precision keeps the TPU's bf16-MXU default from
+    perturbing charges (CLAUDE.md precision rule; parity test ≤1e-5)."""
+    import jax
+    import jax.numpy as jnp
+
+    g = _graph()
+    consts = {k: jnp.asarray(v) for k, v in g.initializers.items()}
+
+    def fwd(features, adj_mean):
+        env = dict(consts)
+        env["features"] = features
+        env["adjacency_mean"] = adj_mean
+        e, s = _walk_graph(
+            g, env,
+            matmul=lambda a, b: jnp.matmul(
+                a, b, precision=jax.lax.Precision.HIGHEST
+            ),
+            relu=lambda a: jnp.maximum(a, 0),
+            tanh=jnp.tanh,
+            take=lambda a, i, ax: jnp.take(a, jnp.asarray(i), axis=ax),
+        )
+        return e.reshape(-1), s.reshape(-1)
+
+    return jax.jit(fwd)
+
+
+def run_gnn_jax(features: np.ndarray, adj_mean: np.ndarray):
+    """Jitted-jax twin of :func:`run_gnn` (same graph walk, XLA-fused).
+
+    Atoms are padded to the next 16-multiple; pad rows carry zero features
+    and zero adjacency in BOTH directions, so real-row message passing
+    (``adj @ h`` never mixes a pad column into a real row) and the sliced
+    (e, s) are unchanged. The two Gathers select columns (axis 1) with
+    constant indices, untouched by row padding."""
+    n = features.shape[0]
+    n_pad = max(16, -(-n // 16) * 16)
+    f = np.zeros((n_pad, features.shape[1]), np.float32)
+    f[:n] = features
+    a = np.zeros((n_pad, n_pad), np.float32)
+    a[:n, :n] = adj_mean
+    e, s = _jax_forward(n_pad)(f, a)
+    return np.asarray(e)[:n], np.asarray(s)[:n]
 
 
 # ---------------------------------------------------------------------------
@@ -243,9 +322,23 @@ def equilibrate(e: np.ndarray, s: np.ndarray) -> np.ndarray:
     return -e * inv + inv * lam
 
 
+def _use_jax() -> bool:
+    mode = os.environ.get("MOLAR_ESPALOMA_BACKEND", "auto")
+    if mode == "jax":
+        return True
+    if mode == "numpy":
+        return False
+    # auto: ride along when the process is already a jax process (backend
+    # warm or about to be); never wake a remote TPU just for charges.
+    return "jax" in sys.modules
+
+
 def espaloma_charges(z, fc, bonds) -> np.ndarray:
     feat, adj = featurize(z, fc, bonds)
-    e, s = run_gnn(feat, adj)
+    if _use_jax():
+        e, s = run_gnn_jax(feat, adj)
+    else:
+        e, s = run_gnn(feat, adj)
     return equilibrate(e, s)
 
 
