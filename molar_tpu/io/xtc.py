@@ -277,7 +277,11 @@ class XtcHandler(FormatHandler):
         return coords, boxes, times
 
     def read_frames_i16(
-        self, start: int, count: int, n_threads: Optional[int] = None
+        self,
+        start: int,
+        count: int,
+        n_threads: Optional[int] = None,
+        n_prefix: Optional[int] = None,
     ) -> tuple[np.ndarray, np.float32, np.ndarray, np.ndarray]:
         """Decode a window to the stream's raw quantized ints as int16:
         -> (icoords (B,N,3) i16, scale f32, boxes, times).
@@ -288,16 +292,27 @@ class XtcHandler(FormatHandler):
         backends). Raises ValueError when the window can't be represented
         (coordinate beyond +-32767 quantized units, uncompressed tiny frame,
         or mixed precisions) — callers fall back to :meth:`read_frames`.
+
+        ``n_prefix``: decode only the FIRST n_prefix atoms of every frame
+        (XDR3DFR is sequential — see :meth:`decode_prefix`); icoords comes
+        back (B, n_prefix, 3), bit-identical to the full decode's prefix.
+        The window feeder uses this when a subset's max index is small
+        (protein-first topologies): the decode cost drops with the prefix
+        fraction, not just the wire.
         """
         count = min(count, self.n_frames - start)
+        n_rows = self._natoms if n_prefix is None else min(n_prefix, self._natoms)
         if count <= 0:
             return (
-                np.empty((0, self._natoms, 3), np.int16),
+                np.empty((0, n_rows, 3), np.int16),
                 np.float32(1.0),
                 np.empty((0, 3, 3), np.float32),
                 np.empty(0, np.float32),
             )
-        icoords = np.empty((count, self._natoms, 3), dtype=np.int16)
+        prefix = n_prefix is not None and n_rows < self._natoms
+        sticky = self._dialect() if prefix else 0
+        slack = self.PREFIX_SLACK if prefix else 0
+        icoords = np.empty((count, n_rows + slack, 3), dtype=np.int16)
         boxes = np.empty((count, 3, 3), dtype=np.float32)
         times = np.empty(count, dtype=np.float32)
         precs = np.empty(count, dtype=np.float32)
@@ -311,15 +326,28 @@ class XtcHandler(FormatHandler):
             step = ctypes.c_int32()
             time = ctypes.c_float()
             prec = ctypes.c_float()
-            n = self._lib.xtc_decode_frame_buf_i16(
-                addr,
-                size - offset,
-                icoords[k].ctypes.data_as(i16p),
-                box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                ctypes.byref(step),
-                ctypes.byref(time),
-                ctypes.byref(prec),
-            )
+            if prefix:
+                n = self._lib.xtc_decode_frame_prefix_i16(
+                    addr,
+                    size - offset,
+                    icoords[k].ctypes.data_as(i16p),
+                    n_rows,
+                    box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.byref(step),
+                    ctypes.byref(time),
+                    ctypes.byref(prec),
+                    sticky,
+                )
+            else:
+                n = self._lib.xtc_decode_frame_buf_i16(
+                    addr,
+                    size - offset,
+                    icoords[k].ctypes.data_as(i16p),
+                    box9.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.byref(step),
+                    ctypes.byref(time),
+                    ctypes.byref(prec),
+                )
             if n == -2:
                 raise ValueError(
                     "frame not representable as i16 quantized coordinates"
@@ -343,6 +371,8 @@ class XtcHandler(FormatHandler):
             raise ValueError("mixed or invalid precisions in window")
         # Same f32 arithmetic as the C decoder: inv = 1.0f / precision.
         scale = np.float32(1.0) / np.float32(precs[0])
+        if slack:
+            icoords = icoords[:, :n_rows]
         return icoords, scale, boxes, times
 
     # -- FormatHandler interface ------------------------------------------------

@@ -22,9 +22,18 @@ numpy f64 — parity tests hold to ~1e-4..1e-3 relative, not bitwise. All
 3-vector transforms are elementwise (VPU) per the bf16-MXU rule; the
 quadric normal equations contract with ``precision=HIGHEST``.
 
-Divergence note: only orthorhombic boxes are supported on the device path
-(the triclinic image-correction search stays host-side); options with
-``n_shells_patch > 0`` fall back to the host pipeline.
+Boxes: the box KIND (orthorhombic vs triclinic) is a static, build-time
+choice — the same compile-time class split :mod:`molar_tpu.selection.compiled`
+makes — but the box VALUES are per-frame inputs, so NPT rescaling stays
+exact. Triclinic frames run the fractional-round + 26-lattice-correction
+min image (core.pbc.shortest_vector semantics, re-expressed as a running
+min over unrolled candidate shifts: no computed-index gathers, which the
+TPU tolerates badly at (L, L) scale — see CLAUDE.md). The candidate
+VECTORS are rebuilt inside the trace from each frame's box columns
+(unpruned ±1 combinations; the host's pruning is only an optimization).
+
+Divergence note: options with ``n_shells_patch > 0`` fall back to the host
+pipeline.
 """
 
 from __future__ import annotations
@@ -54,6 +63,58 @@ def _min_image_ortho(vec, ext):
     import jax.numpy as jnp
 
     return vec - ext * jnp.round(vec / ext)
+
+
+_IJK = np.array(
+    [
+        (i, j, k)
+        for i in (-1, 0, 1)
+        for j in (-1, 0, 1)
+        for k in (-1, 0, 1)
+        if (i, j, k) != (0, 0, 0)
+    ],
+    dtype=np.float32,
+)  # (26, 3)
+
+
+def _frame_corrections(mat):
+    """All 26 ±1-lattice candidate shifts from a (possibly traced) box
+    matrix (columns = box vectors), elementwise — the per-frame twin of
+    core.pbc.build_tric_corrections without the pruning (zero benefit
+    inside jit: losing rows are no-ops in the running min)."""
+    import jax.numpy as jnp
+
+    ijk = jnp.asarray(_IJK)
+    return (
+        ijk[:, 0:1] * mat[:, 0][None, :]
+        + ijk[:, 1:2] * mat[:, 1][None, :]
+        + ijk[:, 2:3] * mat[:, 2][None, :]
+    )  # (26, 3)
+
+
+def _min_image_tric(vec, mat, inv, corr):
+    """Triclinic minimum image: fractional round, then the shortest of the
+    26 lattice-corrected candidates (core.pbc.shortest_vector semantics,
+    periodic_box.rs:25-66). Running-min over unrolled shifts instead of
+    argmin + take_along_axis: computed-index gathers at (L, L, K) scale
+    are a TPU worker hazard (CLAUDE.md), while 26 fused elementwise
+    select steps keep the working set at one (..., 3) buffer."""
+    import jax.numpy as jnp
+
+    from ..core.pbc import mat3_apply
+
+    frac = mat3_apply(inv, vec)
+    frac = frac - jnp.round(frac)
+    start = mat3_apply(mat, frac)
+    best = start
+    best2 = jnp.sum(best * best, axis=-1)
+    for k in range(corr.shape[0]):
+        cand = start + corr[k]
+        cand2 = jnp.sum(cand * cand, axis=-1)
+        take = cand2 < best2
+        best = jnp.where(take[..., None], cand, best)
+        best2 = jnp.where(take, cand2, best2)
+    return best
 
 
 def _solve6_cholesky(M, rhs):
@@ -311,10 +372,11 @@ class MembraneDevice:
             )
         box = m.system.state.require_box()
         mat = np.asarray(box.matrix, np.float64)
-        if np.abs(mat - np.diag(np.diag(mat))).max() > 1e-9:
-            raise MembraneError(
-                "device membrane path supports orthorhombic boxes only"
-            )
+        # Box KIND is static (selects the traced min-image path); box
+        # VALUES stay per-frame inputs (compute_window boxes=).
+        self._triclinic = bool(
+            np.abs(mat - np.diag(np.diag(mat))).max() > 1e-9
+        )
         self.membrane = m
         self.options = opt
         L = len(m.lipids)
@@ -381,14 +443,12 @@ class MembraneDevice:
         """Max patch count on the build-time frame, x1.25, rounded to 8."""
         box = self.membrane.system.state.require_box()
         coords = self.membrane.system.state.coords
-        ext = np.diag(np.asarray(box.matrix, np.float64))
-        # head markers from the current frame (unwrap + mass-weighted mean)
+        # head markers from the current frame (unwrap + mass-weighted mean);
+        # host-side shortest_vector handles both box kinds
         idx, seg = self._head
         sub = coords[self.subset].astype(np.float64)
         ref = sub[self._atom_first]
-        d = sub - ref
-        d -= ext * np.round(d / ext)
-        u = ref + d
+        u = ref + box.shortest_vector(sub - ref)
         w = self._masses[idx].astype(np.float64)
         L = self.n_lipids
         wsum = np.bincount(seg, weights=w, minlength=L)
@@ -399,8 +459,9 @@ class MembraneDevice:
             ],
             axis=-1,
         ) / wsum[:, None]
-        dm = heads[:, None, :] - heads[None, :, :]
-        dm -= ext * np.round(dm / ext)
+        dm = box.shortest_vector(
+            (heads[:, None, :] - heads[None, :, :]).reshape(-1, 3)
+        ).reshape(L, L, 3)
         adj = (dm * dm).sum(-1) <= self.options.cutoff**2
         np.fill_diagonal(adj, False)
         kmax = int(adj.sum(1).max(initial=0))
@@ -446,7 +507,7 @@ class MembraneDevice:
             # compile-time trap; componentwise is fast and fuses)
             return jnp.stack([u[..., 0][idx], u[..., 1][idx], u[..., 2][idx]], -1)
 
-        def smooth_pass(markers, normals, pid, pmask, valid, ext):
+        def smooth_pass(markers, normals, pid, pmask, valid, mi):
             """One _smooth() pass (membrane.py:654-811), lipid-axis batched
             over the padded (L, K) patch table.
 
@@ -501,7 +562,7 @@ class MembraneDevice:
 
             # min-image displacements to every patch member, local coords
             mpk = gather_rows(markers, pid)  # (L, K, 3)
-            rel = _min_image_ortho(mpk - markers[:, None, :], ext)
+            rel = mi(mpk - markers[:, None, :])
             local = jnp.einsum("lij,lkj->lki", inv, rel, precision=hp)
             x, y, z = local[..., 0], local[..., 1], local[..., 2]
 
@@ -629,10 +690,21 @@ class MembraneDevice:
                 areas,
             )
 
-        def per_frame(coords, ext):
+        tric = self._triclinic
+
+        def per_frame(coords, pb):
+            # static box-kind split: pb is ext (3,) orthorhombic or
+            # (mat, inv) (3,3) each for a triclinic build box
+            if tric:
+                mat, inv = pb
+                corr = _frame_corrections(mat)
+                mi = lambda v: _min_image_tric(v, mat, inv, corr)
+            else:
+                mi = lambda v: _min_image_ortho(v, pb)
+
             # 1. unwrap each lipid to its first atom's image
             ref = gather_rows(coords, atom_first)
-            u = ref + _min_image_ortho(coords - ref, ext)
+            u = ref + mi(coords - ref)
 
             # 2. markers
             heads = seg_com(u, head_i, head_s)
@@ -640,7 +712,7 @@ class MembraneDevice:
             tails = seg_com(u, tail_i, tail_s)
 
             # 3. patches: head-marker adjacency within cutoff -> top-K table
-            dm = _min_image_ortho(heads[None, :, :] - heads[:, None, :], ext)
+            dm = mi(heads[None, :, :] - heads[:, None, :])
             d2 = jnp.sum(dm * dm, -1)
             d2 = jnp.where(jnp.eye(L, dtype=bool), jnp.inf, d2)
             adj = d2 <= cutoff2
@@ -665,7 +737,7 @@ class MembraneDevice:
             markers = heads
             for _ in range(max(opt.max_smooth_iter, 1)):
                 (markers, normals, valid, nb_ids, nb_mask, meanc, gaussc,
-                 areas) = smooth_pass(markers, normals, pid, pmask, valid, ext)
+                 areas) = smooth_pass(markers, normals, pid, pmask, valid, mi)
 
             # 5. order parameters per species/tail (on unwrapped coords)
             order = {}
@@ -728,12 +800,12 @@ class MembraneDevice:
                 "order": order,
             }
 
-        def window_fn(coords, exts):
+        def window_fn(coords, pbs):
             def step(carry, fr):
-                c, e = fr
-                return carry, per_frame(c, e)
+                c, pb = fr
+                return carry, per_frame(c, pb)
 
-            return jax.lax.scan(step, 0, (coords, exts))[1]
+            return jax.lax.scan(step, 0, (coords, pbs))[1]
 
         return window_fn
 
@@ -757,27 +829,41 @@ class MembraneDevice:
         coords = decode_window_coords(coords)
         B = coords.shape[0]
         if boxes is None:
-            ext = np.diag(
-                np.asarray(self.membrane.system.state.require_box().matrix)
-            ).astype(np.float32)
-            exts = np.broadcast_to(ext, (B, 3))
+            bs = np.broadcast_to(
+                np.asarray(
+                    self.membrane.system.state.require_box().matrix,
+                    np.float64,
+                ),
+                (B, 3, 3),
+            )
         else:
-            bs = np.asarray(boxes)
-            # The pipeline's min-image math is orthorhombic-only (__init__
-            # rejects a triclinic build box); silently np.diag-ing a tilted
-            # per-frame cell (NPT Parrinello-Rahman) would corrupt every
-            # distance — fail loudly instead.
+            bs = np.asarray(boxes, np.float64)
+        if self._triclinic:
+            # inverses on host in f64 (a per-frame 3x3 — not device work),
+            # shipped f32 next to the matrices
+            pbs = (
+                jnp.asarray(bs, jnp.float32),
+                jnp.asarray(np.linalg.inv(bs), jnp.float32),
+            )
+        else:
+            # The compiled program's min-image is the componentwise
+            # orthorhombic form (a static, build-time choice); silently
+            # np.diag-ing a tilted per-frame cell (NPT Parrinello-Rahman)
+            # would corrupt every distance — fail loudly instead.
             off = bs - bs * np.eye(3)[None]
             if np.abs(off).max(initial=0.0) > 1e-5:
                 raise MembraneError(
                     "MembraneDevice.compute_window: per-frame box is not "
                     "orthorhombic (off-diagonal max "
-                    f"{np.abs(off).max():.2e}); the device pipeline "
-                    "supports rectangular cells only — use the host "
-                    "Membrane.compute path for triclinic boxes"
+                    f"{np.abs(off).max():.2e}) but this MembraneDevice was "
+                    "built from an orthorhombic box — rebuild it with a "
+                    "triclinic build-frame box to compile the triclinic "
+                    "min-image path"
                 )
-            exts = np.stack([np.diag(b) for b in bs])
-        out = self._window_fn(coords, jnp.asarray(exts, jnp.float32))
+            pbs = jnp.asarray(
+                np.stack([np.diag(b) for b in bs]), jnp.float32
+            )
+        out = self._window_fn(coords, pbs)
         return jax.tree_util.tree_map(np.asarray, out)
 
     def accumulate(self, outs) -> None:

@@ -87,6 +87,11 @@ def load() -> ctypes.CDLL:
         lib.xtc_decode_frame_buf_i16.argtypes = [
             u8p, ctypes.c_long, i16p, f32p, i32p, f32p, f32p,
         ]
+        lib.xtc_decode_frame_prefix_i16.restype = ctypes.c_int
+        lib.xtc_decode_frame_prefix_i16.argtypes = [
+            u8p, ctypes.c_long, i16p, ctypes.c_int32, f32p, i32p, f32p,
+            f32p, ctypes.c_int32,
+        ]
         lib.xtc_encode_frame.restype = ctypes.c_long
         lib.xtc_encode_frame.argtypes = [
             f32p, ctypes.c_int, f32p, ctypes.c_int32, ctypes.c_float,

@@ -553,6 +553,28 @@ int xtc_decode_frame_prefix(const uint8_t* buf, long buflen, float* coords,
   return n < 0 ? -1 : n;
 }
 
+// Prefix decode to the raw quantized int16 ints under a KNOWN dialect
+// (from xtc_decode_frame_detect on any full frame of the same file) — the
+// transport form for subset window streams: a selection confined to low
+// atom indices decodes only max(selection)+1 atoms per frame and ships
+// i8/i16 deltas of exactly those ints. `coords` must hold n_want + 10
+// atoms of slack (run-group overshoot; see xtc_decode_core). Returns the
+// frame's total atom count on success (only the first n_want rows are
+// valid), -1 on stream error, -2 when the int16 transport can't represent
+// the frame (caller falls back to the float path).
+int xtc_decode_frame_prefix_i16(const uint8_t* buf, long buflen,
+                                int16_t* coords, int32_t n_want, float* box9,
+                                int32_t* step, float* time,
+                                float* precision_out, int32_t sticky_runs) {
+  if (n_want < 1) return -1;
+  I16Store st{coords};
+  int n = xtc_decode_core(buf, buflen, st, box9, step, time, precision_out,
+                          sticky_runs != 0, n_want);
+  if (n == -3) n = -1;
+  if (n >= 0 && (precision_out && *precision_out == 0.0f)) return -2;
+  return n;
+}
+
 // Decode one frame to the raw quantized int coordinates as int16 (natoms*3).
 // Returns natoms, -1 on stream error, -2 if a coordinate exceeds int16 range
 // or the frame is a tiny uncompressed one (no quantized ints exist) — the

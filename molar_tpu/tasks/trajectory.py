@@ -219,6 +219,17 @@ class TrajectoryReader:
                     fr_base += n
                     fh.close()
                     continue
+                # Subsets confined to low atom indices (protein-first
+                # GROMACS layouts) decode only their prefix: XDR3DFR is
+                # sequential per atom, so stopping at max(subset)+1 cuts
+                # the host decode cost by the prefix fraction — the same
+                # lever the trjconv fast path uses (io/trjconv.py), here
+                # feeding the device window stream.
+                n_prefix = None
+                if sub is not None and len(sub):
+                    pmax = int(sub.max()) + 1
+                    if 2 * pmax <= h.n_atoms:
+                        n_prefix = pmax
                 for s in range(0, len(kept), window):
                     chunk = kept[s : s + window]
                     if np.array_equal(chunk, np.arange(chunk[0], chunk[0] + len(chunk))):
@@ -226,7 +237,8 @@ class TrajectoryReader:
                         if quantized:
                             try:
                                 ic, scale, boxes, times_w = h.read_frames_i16(
-                                    int(chunk[0]), len(chunk), n_threads
+                                    int(chunk[0]), len(chunk), n_threads,
+                                    n_prefix=n_prefix,
                                 )
                                 if sub is not None:
                                     ic = np.ascontiguousarray(ic[:, sub])

@@ -17,7 +17,7 @@ from molar_tpu.membrane import Membrane
 from molar_tpu.membrane.device import MembraneDevice
 
 
-def make_bilayer(nx=5, ny=5, bend=0.15, seed=0):
+def make_bilayer(nx=5, ny=5, bend=0.15, seed=0, tilt=0.0):
     # Head planes 3.0 nm apart (> the 2.0 nm patch cutoff): patches stay
     # in-leaflet. A closer spacing puts opposite-leaflet heads inside the
     # cutoff and the |f|>0.5 fit sanity check correctly invalidates every
@@ -39,11 +39,15 @@ def make_bilayer(nx=5, ny=5, bend=0.15, seed=0):
                     coords.append([x, y, z_mid + zb + zdir * (1.5 - 0.3 * k)])
     top = Topology.from_atoms(atoms)
     top.assign_resindex()
+    box_mat = np.diag([nx * spacing, ny * spacing, 6.0]).astype(np.float32)
+    if tilt:
+        # b vector gains an x-component: min image across the y boundary
+        # now needs the lattice-correction candidates, not just the
+        # componentwise round (the device triclinic path's raison d'être)
+        box_mat[0, 1] = tilt
     st = State(
         coords=np.asarray(coords, np.float32),
-        box=PeriodicBox(
-            np.diag([nx * spacing, ny * spacing, 6.0]).astype(np.float32)
-        ),
+        box=PeriodicBox(box_mat),
     )
     return System(top, st)
 
@@ -63,13 +67,13 @@ tails = ["C1-C2-C3-C4"]
 """
 
 
-def run_both(tmp_path, n_frames=4, toml_extra="", sigma=0.01):
-    sys_h = make_bilayer()
+def run_both(tmp_path, n_frames=4, toml_extra="", sigma=0.01, tilt=0.0):
+    sys_h = make_bilayer(tilt=tilt)
     toml = TOML.format(out=str(tmp_path / "host"), extra=toml_extra)
     memb_h = Membrane(sys_h, toml)
     memb_h.add_ids_to_group("all", range(len(memb_h.lipids)))
 
-    sys_d = make_bilayer()
+    sys_d = make_bilayer(tilt=tilt)
     memb_d = Membrane(sys_d, TOML.format(out=str(tmp_path / "dev"), extra=toml_extra))
     memb_d.add_ids_to_group("all", range(len(memb_d.lipids)))
     dev = MembraneDevice(memb_d)
@@ -193,6 +197,75 @@ def test_device_small_membrane_patch_cap_clamps(tmp_path):
     window = np.stack([sys_h.state.coords[dev.subset]])
     outs = dev.compute_window(window.astype(np.float32))
     assert outs["valid"].shape == (1, 8)
+
+
+def test_device_matches_host_triclinic(tmp_path):
+    """Triclinic build box: the device pipeline compiles the fractional-
+    round + 26-candidate min-image path; parity vs the host pipeline
+    (box.shortest_vector) to the same tolerances as the orthorhombic
+    cases. The 0.9 nm b-vector tilt vs a 2.0 nm cutoff makes the
+    cross-boundary patch adjacency genuinely correction-dependent."""
+    memb_h, memb_d, dev, host, outs = run_both(tmp_path, tilt=0.9)
+    assert dev._triclinic
+    for fr, h in enumerate(host):
+        np.testing.assert_array_equal(outs["valid"][fr], h["valid"],
+                                      err_msg=f"valid flags frame {fr}")
+        v = h["valid"]
+        np.testing.assert_allclose(outs["area"][fr][v], h["area"][v],
+                                   rtol=2e-3, err_msg=f"areas frame {fr}")
+        np.testing.assert_allclose(outs["mean_curv"][fr][v], h["mean"][v],
+                                   rtol=0.05, atol=5e-4)
+        np.testing.assert_array_equal(outs["n_neighbors"][fr][v],
+                                      h["nneib"][v])
+        for i in np.nonzero(v)[0]:
+            ids = outs["nb_ids"][fr][i][outs["nb_mask"][fr][i]]
+            assert sorted(ids) == h["neib"][i], f"frame {fr} lipid {i}"
+
+
+def test_device_triclinic_per_frame_boxes(tmp_path):
+    """NPT analogue: per-frame triclinic boxes (slightly rescaled each
+    frame) flow through compute_window(boxes=) and match the host run
+    with the same per-frame boxes."""
+    from molar_tpu.membrane import Membrane as M
+
+    sys_h = make_bilayer(tilt=0.9)
+    memb_h = M(sys_h, TOML.format(out=str(tmp_path / "h"), extra=""))
+    memb_h.add_ids_to_group("all", range(len(memb_h.lipids)))
+    sys_d = make_bilayer(tilt=0.9)
+    memb_d = M(sys_d, TOML.format(out=str(tmp_path / "d"), extra=""))
+    memb_d.add_ids_to_group("all", range(len(memb_d.lipids)))
+    dev = MembraneDevice(memb_d)
+
+    rng = np.random.default_rng(7)
+    base = sys_h.state.coords.copy()
+    base_box = np.asarray(sys_h.state.box.matrix, np.float64)
+    frames, boxes = [], []
+    for k in range(3):
+        s = 1.0 + 0.01 * k
+        frames.append(
+            (base * s + rng.normal(0, 0.01, base.shape)).astype(np.float32)
+        )
+        boxes.append(base_box * s)
+
+    host = []
+    for c, b in zip(frames, boxes):
+        sys_h.state.coords = c.copy()
+        sys_h.state.box = PeriodicBox(b.astype(np.float32))
+        memb_h.compute()
+        host.append(
+            {
+                "valid": np.array([l.valid for l in memb_h.lipids]),
+                "area": np.array([l.area for l in memb_h.lipids]),
+            }
+        )
+
+    window = np.stack([c[dev.subset] for c in frames])
+    outs = dev.compute_window(window, boxes=np.stack(boxes))
+    for fr, h in enumerate(host):
+        np.testing.assert_array_equal(outs["valid"][fr], h["valid"])
+        v = h["valid"]
+        np.testing.assert_allclose(outs["area"][fr][v], h["area"][v],
+                                   rtol=2e-3)
 
 
 def test_device_rejects_triclinic_frame_box(tmp_path):

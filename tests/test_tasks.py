@@ -189,6 +189,54 @@ def test_iter_windows_subset_matches_sliced_full(two_trajs):
             np.testing.assert_array_equal(s, f[:, sub])
 
 
+def test_subset_prefix_decode_bit_exact(tmp_path):
+    """A subset confined to low atom indices triggers the prefix i16 decode
+    (only max(subset)+1 atoms of each frame are parsed — XDR3DFR is
+    sequential); the shipped rows must stay bit-identical to slicing the
+    full-frame decode, across run-group boundaries (the decoder may
+    overshoot into slack rows) and in every quantized transport form."""
+    from molar_tpu.io.xtc import XtcHandler
+    from molar_tpu.tasks.trajectory import (
+        TrajectoryReader,
+        decode_window_coords,
+    )
+
+    rng = np.random.default_rng(11)
+    p = str(tmp_path / "big.xtc")
+    w = XtcHandler(p, "w")
+    box = np.diag([6.0, 6.0, 6.0]).astype(np.float32)
+    # clustered coords so the encoder emits small-run groups (the prefix
+    # stop must handle mid-run overshoot)
+    c = rng.uniform(2.9, 3.1, (400, 3)).astype(np.float32)
+    for k in range(9):
+        c = c + rng.normal(0, 0.004, c.shape).astype(np.float32)
+        w.write_raw(c, box, step=k, time=float(k))
+    w.close()
+
+    h = XtcHandler(p)
+    full_ic, full_scale, fb, ft = h.read_frames_i16(0, 9)
+    pre_ic, pre_scale, pb, pt = h.read_frames_i16(0, 9, n_prefix=37)
+    assert pre_ic.shape == (9, 37, 3)
+    np.testing.assert_array_equal(pre_ic, full_ic[:, :37])
+    assert pre_scale == full_scale
+    np.testing.assert_array_equal(pb, fb)
+    h.close()
+
+    sub = np.array([33, 2, 17, 36, 0])  # max 36 << 400: prefix kicks in
+    reader = TrajectoryReader([p])
+    for quant in (False, True, "delta"):
+        full = [
+            np.asarray(decode_window_coords(c))
+            for c, *_ in reader.iter_windows(4, quantized=quant)
+        ]
+        subw = [
+            np.asarray(decode_window_coords(c))
+            for c, *_ in reader.iter_windows(4, quantized=quant, subset=sub)
+        ]
+        for f, s in zip(full, subw):
+            np.testing.assert_array_equal(s, f[:, sub])
+
+
 def test_delta_transport_form_and_fallback(tmp_path):
     """Smooth windows ship as (frame0 i16, deltas i8, scale); a window with a
     jump beyond int8 falls back to the i16 pair. Both decode bit-exactly."""
