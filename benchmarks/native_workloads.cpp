@@ -262,34 +262,35 @@ void emit(const char* wl, long frames, double el, double check) {
   fflush(stdout);
 }
 
-void wl_ca_rmsd(const Traj& t, const Meta& m) {
-  int n_ca = (int)m.ca_idx.size();
-  std::vector<float> coords(3l * t.natoms), sel(3l * n_ca);
-  float box9[9];
+// Per-frame bodies, shared verbatim between the single-workload rows and
+// wl_fused (one decode, all three observables — the device side's
+// one-window-program ethos applied to the denominator so the comparison
+// stays like-for-like). Scratch buffers live in the *Acc structs so the
+// timed loops stay allocation-free.
+
+struct CaRmsdAcc {
+  std::vector<float> sel;
   double check = 0;
-  auto t0 = clk::now();
-  for (size_t k = 0; k < t.offsets.size(); ++k) {
-    t.decode((int)k, coords.data(), box9);
+  explicit CaRmsdAcc(const Meta& m) : sel(3 * m.ca_idx.size()) {}
+  void frame(const float* coords, const Meta& m) {
+    int n_ca = (int)m.ca_idx.size();
     for (int i = 0; i < n_ca; ++i)
       for (int d = 0; d < 3; ++d)
         sel[3 * i + d] = coords[3l * m.ca_idx[i] + d];
     check += kabsch_rmsd(sel.data(), m.ref_ca.data(), m.ca_mass.data(), n_ca);
   }
-  emit("ca_rmsd", (long)t.offsets.size(), secs(t0, clk::now()),
-       check / t.offsets.size());
-}
+};
 
-void wl_com_gyr(const Traj& t, const Meta& m) {
-  int ns = (int)m.sel_idx.size();
-  std::vector<float> coords(3l * t.natoms);
-  std::vector<double> msum(m.n_seg, 0.0);
-  for (int i = 0; i < ns; ++i) msum[m.sel_seg[i]] += m.sel_mass[i];
-  std::vector<double> com(3l * m.n_seg), g2(m.n_seg);
-  float box9[9];
+struct ComGyrAcc {
+  std::vector<double> msum, com, g2;
   double check = 0;
-  auto t0 = clk::now();
-  for (size_t k = 0; k < t.offsets.size(); ++k) {
-    t.decode((int)k, coords.data(), box9);
+  explicit ComGyrAcc(const Meta& m)
+      : msum(m.n_seg, 0.0), com(3l * m.n_seg), g2(m.n_seg) {
+    for (size_t i = 0; i < m.sel_idx.size(); ++i)
+      msum[m.sel_seg[i]] += m.sel_mass[i];
+  }
+  void frame(const float* coords, const Meta& m) {
+    int ns = (int)m.sel_idx.size();
     std::fill(com.begin(), com.end(), 0.0);
     std::fill(g2.begin(), g2.end(), 0.0);
     for (int i = 0; i < ns; ++i) {
@@ -313,25 +314,22 @@ void wl_com_gyr(const Traj& t, const Meta& m) {
     for (int s = 0; s < m.n_seg; ++s) acc += std::sqrt(g2[s] / msum[s]);
     check += acc / m.n_seg;
   }
-  emit("com_gyr", (long)t.offsets.size(), secs(t0, clk::now()),
-       check / t.offsets.size());
-}
+};
 
-void wl_contacts(const Traj& t, const Meta& m) {
-  float cut = m.contacts_cutoff;
-  float cut2 = cut * cut;
-  int nl = (int)m.lig_idx.size(), np = (int)m.sel_idx.size();
+struct ContactsAcc {
+  float cut2;
   int dims[3];
-  for (int d = 0; d < 3; ++d)
-    dims[d] = std::max(1, (int)std::floor(m.box[d] / cut));
-  int ncell = dims[0] * dims[1] * dims[2];
-  std::vector<float> coords(3l * t.natoms);
-  std::vector<std::vector<int>> cells(ncell);
-  float box9[9];
-  long check = 0;
-  auto t0 = clk::now();
-  for (size_t k = 0; k < t.offsets.size(); ++k) {
-    t.decode((int)k, coords.data(), box9);
+  std::vector<std::vector<int>> cells;
+  double check = 0;
+  explicit ContactsAcc(const Meta& m) {
+    float cut = m.contacts_cutoff;
+    cut2 = cut * cut;
+    for (int d = 0; d < 3; ++d)
+      dims[d] = std::max(1, (int)std::floor(m.box[d] / cut));
+    cells.resize(dims[0] * dims[1] * dims[2]);
+  }
+  void frame(const float* coords, const Meta& m) {
+    int nl = (int)m.lig_idx.size(), np = (int)m.sel_idx.size();
     for (auto& c : cells) c.clear();
     auto cellof = [&](const float* p) {
       int ix[3];
@@ -371,10 +369,71 @@ void wl_contacts(const Traj& t, const Meta& m) {
             }
           }
     }
-    check += cnt;
+    check += (double)cnt;
+  }
+};
+
+void wl_ca_rmsd(const Traj& t, const Meta& m) {
+  std::vector<float> coords(3l * t.natoms);
+  float box9[9];
+  CaRmsdAcc acc(m);
+  auto t0 = clk::now();
+  for (size_t k = 0; k < t.offsets.size(); ++k) {
+    t.decode((int)k, coords.data(), box9);
+    acc.frame(coords.data(), m);
+  }
+  emit("ca_rmsd", (long)t.offsets.size(), secs(t0, clk::now()),
+       acc.check / t.offsets.size());
+}
+
+void wl_com_gyr(const Traj& t, const Meta& m) {
+  std::vector<float> coords(3l * t.natoms);
+  float box9[9];
+  ComGyrAcc acc(m);
+  auto t0 = clk::now();
+  for (size_t k = 0; k < t.offsets.size(); ++k) {
+    t.decode((int)k, coords.data(), box9);
+    acc.frame(coords.data(), m);
+  }
+  emit("com_gyr", (long)t.offsets.size(), secs(t0, clk::now()),
+       acc.check / t.offsets.size());
+}
+
+void wl_contacts(const Traj& t, const Meta& m) {
+  std::vector<float> coords(3l * t.natoms);
+  float box9[9];
+  ContactsAcc acc(m);
+  auto t0 = clk::now();
+  for (size_t k = 0; k < t.offsets.size(); ++k) {
+    t.decode((int)k, coords.data(), box9);
+    acc.frame(coords.data(), m);
   }
   emit("contacts", (long)t.offsets.size(), secs(t0, clk::now()),
-       (double)check / t.offsets.size());
+       acc.check / t.offsets.size());
+}
+
+// One decode, all three observables per frame — the native twin of the
+// device's fused window program (workloads.py wl_fused).
+void wl_fused(const Traj& t, const Meta& m) {
+  std::vector<float> coords(3l * t.natoms);
+  float box9[9];
+  CaRmsdAcc ca(m);
+  ComGyrAcc cg(m);
+  ContactsAcc ct(m);
+  auto t0 = clk::now();
+  for (size_t k = 0; k < t.offsets.size(); ++k) {
+    t.decode((int)k, coords.data(), box9);
+    ca.frame(coords.data(), m);
+    cg.frame(coords.data(), m);
+    ct.frame(coords.data(), m);
+  }
+  double el = secs(t0, clk::now());
+  long n = (long)t.offsets.size();
+  printf(
+      "{\"workload\":\"fused\",\"frames\":%ld,\"elapsed_s\":%.6f,"
+      "\"fps\":%.2f,\"check\":%.6g,\"check_com\":%.6g,"
+      "\"check_contacts\":%.6g}\n",
+      n, el, n / el, ca.check / n, cg.check / n, ct.check / n);
 }
 
 // Exact Lee-Richards SASA over the sel atoms: same slab placement as
@@ -549,8 +608,8 @@ void wl_trjconv(const Traj& t, const Meta& m, const char* out_path) {
 int main(int argc, char** argv) {
   if (argc < 4) {
     fprintf(stderr,
-            "usage: native_workloads <ca_rmsd|com_gyr|contacts|sasa|trjconv|"
-            "all> traj.xtc meta.bin [max_frames] [dcd_out]\n");
+            "usage: native_workloads <ca_rmsd|com_gyr|contacts|fused|sasa|"
+            "trjconv|all> traj.xtc meta.bin [max_frames] [dcd_out]\n");
     return 2;
   }
   std::string cmd = argv[1];
@@ -573,6 +632,7 @@ int main(int argc, char** argv) {
   if (cmd == "ca_rmsd" || cmd == "all") wl_ca_rmsd(t, m);
   if (cmd == "com_gyr" || cmd == "all") wl_com_gyr(t, m);
   if (cmd == "contacts" || cmd == "all") wl_contacts(t, m);
+  if (cmd == "fused" || cmd == "all") wl_fused(t, m);
   if (cmd == "sasa" || cmd == "all") wl_sasa(t, m);
   if (cmd == "trjconv" || cmd == "all") wl_trjconv(t, m, dcd_out);
   return 0;

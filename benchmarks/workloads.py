@@ -260,6 +260,79 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
     return n, el, {"check": float(cnt.mean())}
 
 
+def wl_fused(system, xtc, window, runner=None, cutoff=0.4):
+    """ca_rmsd + com_splits + contacts in ONE window program.
+
+    The three selection workloads are dispatch-bound (3.75-12 KB/frame
+    wires); fusing their per-frame bodies into a single scanned program
+    ships ONE union-subset stream and pays ONE dispatch per window for all
+    three observables — the whole-analysis-program ethos
+    (docs/architecture.md). The native twin (native_workloads.cpp wl_fused)
+    decodes each frame once and runs the same three per-frame bodies, so
+    the comparison stays like-for-like.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from molar_tpu.ops import measure, neighbor
+
+    ca = system("name CA")
+    ala = system("resname ALA")
+    lig_g = system("name OW").indices[:50]
+    subset = np.unique(np.concatenate([ca.indices, ala.indices, lig_g]))
+    loc = lambda g: jnp.asarray(np.searchsorted(subset, g))  # noqa: E731
+    ca_l, ala_l, lig_l = loc(ca.indices), loc(ala.indices), loc(lig_g)
+
+    ref = jnp.asarray(ca.coords)
+    ca_mass = jnp.asarray(ca.masses)
+    seg = jnp.asarray(ala.segment_ids())
+    nseg = int(seg[-1]) + 1
+    ala_mass = jnp.asarray(ala.masses)
+    msum = jax.ops.segment_sum(ala_mass, seg, num_segments=nseg)
+    dims = neighbor.grid_dims(system.state.box.box_extents(), cutoff)
+
+    @jax.jit
+    def fn(coords, boxes, invs, times):
+        coords = decode_window_coords(coords)
+
+        def per_frame(carry, fr):
+            c, b, i = fr
+            rmsd, _r, _s = measure.fit_rmsd(c[ca_l], ref, ca_mass)
+            x = c[ala_l]
+            com = (
+                jax.ops.segment_sum(x * ala_mass[:, None], seg,
+                                    num_segments=nseg)
+                / msum[:, None]
+            )
+            d = x - com[seg]
+            g2 = jax.ops.segment_sum(
+                jnp.sum(d * d, -1) * ala_mass, seg, num_segments=nseg
+            ) / msum
+            pairs, dist, cnt, ofl = neighbor.contact_pairs(
+                c, ala_l, lig_l, cutoff=cutoff, box=b, inv=i, dims=dims,
+                cap=64, max_pairs=1 << 14,
+            )
+            return carry, (rmsd, jnp.sqrt(g2), cnt, ofl)
+
+        return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
+
+    n, el, outs = _timed_stream(fn, xtc, window, runner, subset=subset)
+    rmsd = np.concatenate([np.asarray(o[0]).ravel() for o in outs])
+    gyr = np.concatenate([np.asarray(o[1]) for o in outs])
+    cnt = np.concatenate([np.asarray(o[2]).ravel() for o in outs])
+    ofl = np.concatenate([np.asarray(o[3]).ravel() for o in outs])
+    if ofl.any():
+        raise RuntimeError("fused workload overflowed its pair capacity")
+    if cnt.sum() == 0:
+        raise RuntimeError("fused workload found ZERO contacts — trivially "
+                           "empty accumulation")
+    return n, el, {
+        "check": float(rmsd.mean()),
+        "check_com": float(gyr.mean(axis=1).mean()),
+        "check_contacts": float(cnt.mean()),
+    }
+
+
 def wl_sasa(system, xtc, window):
     """Per-residue SASA time series — EXACT device Lee-Richards, neighbor
     lists rebuilt ON DEVICE every frame (sasa_lr.neighbor_lists_device).
@@ -374,7 +447,7 @@ def wl_trjconv(system, xtc):
 
 
 def wl_membrane(n_frames=8, shards=0, device=False, window=8, nx=6, ny=6,
-                stash_key=None):
+                stash_key=None, engine="device"):
     # tiny flat bilayer, host pipeline (frames shard across chips via the
     # frame mesh in multi-chip deployments; single-process here).
     # ``shards > 1`` runs the multi-chip execution shape in-process: the
@@ -439,16 +512,24 @@ tails = ["C1-C2-C3-C4"]
 
         memb = Membrane(system, toml)
         memb.add_ids_to_group("all", range(len(memb.lipids)))
-        dev = MembraneDevice(memb)
+        dev = MembraneDevice(memb, engine=engine)
         _MEMBRANE_RUNS[stash_key or "membrane_dev"] = (dev, frames)
         wins = [
             np.stack([c[dev.subset] for c in frames[s : s + window]])
             for s in range(0, n_frames, window)
         ]
         for w in {w.shape[0] for w in wins}:  # compile every window shape
-            jax.block_until_ready(
-                dev._window_fn(wins[0][:w], np.ones((w, 3), np.float32))
-            )
+            if engine == "device":
+                jax.block_until_ready(
+                    dev._window_fn(wins[0][:w], np.ones((w, 3), np.float32))
+                )
+            else:
+                # cpu/auto engines place inputs inside compute_window —
+                # warming _window_fn directly would compile the WRONG
+                # backend's executable
+                dev.compute_window(wins[0][:w])
+        if engine != "device":
+            print(f"# membrane engine={dev.engine_resolved}", file=sys.stderr)
         t0 = time.perf_counter()
         outs = [dev.compute_window(w) for w in wins]
         for o in outs:
@@ -746,8 +827,8 @@ def main() -> int:
                     "windows, full-frame streams get 16)")
     ap.add_argument("--which", default="all",
                     choices=["all", "ca_rmsd", "com_splits", "contacts",
-                             "sasa", "membrane", "membrane_dev", "membrane_large",
-                             "trjconv"])
+                             "fused", "sasa", "membrane", "membrane_dev",
+                             "membrane_auto", "membrane_large", "trjconv"])
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU jax backend (the axon TPU plugin "
                     "ignores JAX_PLATFORMS)")
@@ -789,6 +870,9 @@ def main() -> int:
         "ca_rmsd": lambda: wl_ca_rmsd(system, xtc, args.window, runner),
         "com_splits": lambda: wl_com_splits(system, xtc, args.window, runner),
         "contacts": lambda: wl_contacts(system, xtc, args.window, runner),
+        # the three rows above in ONE window program / one dispatch —
+        # against a native twin that also decodes each frame exactly once
+        "fused": lambda: wl_fused(system, xtc, args.window, runner),
         # sasa is compute-bound (~134 ms/frame) — dispatch overhead is
         # noise there; keep the 16-frame window (auto-sizing would only
         # grow the compile)
@@ -796,6 +880,13 @@ def main() -> int:
         "membrane": lambda: wl_membrane(shards=args.mesh),
         "membrane_dev": lambda: wl_membrane(
             n_frames=64, device=True, window=16, stash_key="membrane_dev"
+        ),
+        # Same 72-lipid problem, engine picked by the measured-crossover
+        # heuristic (tasks.engine) — resolves to CPU-jit here, the measured
+        # winner (134 fps vs TPU 41.5); "the best engine by default" row.
+        "membrane_auto": lambda: wl_membrane(
+            n_frames=64, device=True, window=16, stash_key="membrane_auto",
+            engine="auto",
         ),
         # scale row: 4608 lipids — where the batched device pipeline
         # separates from scalar per-lipid loops (72 lipids are host-scale,
@@ -821,8 +912,8 @@ def main() -> int:
     failures = []
     if not args.no_native and not args.files:
         native_map = {"ca_rmsd": "ca_rmsd", "com_splits": "com_gyr",
-                      "contacts": "contacts", "sasa": "sasa",
-                      "trjconv": "trjconv"}
+                      "contacts": "contacts", "fused": "fused",
+                      "sasa": "sasa", "trjconv": "trjconv"}
         # membrane rows have their own denominator binary; don't run the
         # five scalar natives for them
         which = native_map.get(args.which,
@@ -859,6 +950,15 @@ def main() -> int:
                 if dev_name == "trjconv":
                     md = _compare_dcd(checks[dev_name]["dcd_path"], nat_dcd)
                     verify(dev_name, md, 0.0, 0.0, 1e-6, label="dcd_maxdiff")
+                elif dev_name == "fused":
+                    verify(dev_name, checks[dev_name]["check"], r["check"],
+                           CHECK_RTOL["ca_rmsd"], 0.0)
+                    verify(dev_name, checks[dev_name]["check_com"],
+                           r["check_com"], CHECK_RTOL["com_splits"], 0.0,
+                           label="check_com")
+                    verify(dev_name, checks[dev_name]["check_contacts"],
+                           r["check_contacts"], CHECK_RTOL["contacts"], 0.0,
+                           label="check_contacts")
                 else:
                     rtol = CHECK_RTOL[dev_name]
                     verify(dev_name, checks[dev_name]["check"], r["check"],

@@ -1,4 +1,10 @@
-from .membrane import LipidMolecule, LipidSpecies, Membrane, MembraneOptions
+from .membrane import (
+    LipidMolecule,
+    LipidSpecies,
+    Membrane,
+    MembraneError,
+    MembraneOptions,
+)
 
 
 def __getattr__(name):
@@ -16,4 +22,5 @@ __all__ = [
     "LipidSpecies",
     "LipidMolecule",
     "MembraneDevice",
+    "MembraneError",
 ]

@@ -358,9 +358,19 @@ class MembraneDevice:
     build-time frame's max patch count, rounded up to 8. A frame whose
     patch counts exceed K sets the ``overflow`` output flag — rebuild with
     a larger cap (same tier pattern as the neighbor-search caps).
+
+    ``engine``: ``"device"`` (default backend), ``"cpu"`` (commit window
+    inputs to the CPU backend — the measured winner for small membranes,
+    docs/perf_notes.md), or ``"auto"`` (pick at the first window from the
+    per-frame work estimate x window size; tasks.engine crossovers).
     """
 
-    def __init__(self, membrane: Membrane, patch_cap: int | None = None):
+    def __init__(
+        self,
+        membrane: Membrane,
+        patch_cap: int | None = None,
+        engine: str = "device",
+    ):
         import jax
 
         m = membrane
@@ -437,7 +447,38 @@ class MembraneDevice:
             patch_cap = self._estimate_patch_cap()
         # (clamped: lax.top_k needs k <= L whatever the caller asked for)
         self.patch_cap = max(1, min(int(patch_cap), self.n_lipids))
+        # Engine selection (tasks.engine): "device" = default backend,
+        # "cpu" = commit window inputs to the CPU backend (measured winner
+        # for small membranes: 72 lipids CPU-jit 134 fps vs TPU 41.5 —
+        # docs/perf_notes.md), "auto" = pick from the per-frame work
+        # estimate at the first compute_window (window size amortizes
+        # dispatch, so the decision needs B).
+        if engine not in ("auto", "cpu", "device"):
+            raise MembraneError(
+                f"MembraneDevice engine must be auto/cpu/device, got {engine!r}"
+            )
+        self.engine = engine
+        self._engine_dev = None  # resolved lazily ("auto") or below
+        self.engine_resolved = None if engine == "auto" else engine
+        if engine == "cpu":
+            from ..tasks.engine import engine_device
+
+            self._engine_dev = engine_device("cpu")
         self._window_fn = jax.jit(self._build_window_fn())
+
+    def _per_frame_flops(self) -> float:
+        """Rough device-FLOP estimate of one frame of the window program.
+
+        Terms: the L x L head-distance matrix + top_k patch search
+        (~10 flops/pair), per-lipid candidate-vertex Voronoi over K^2 pairs
+        (~40 each), and the 6x6 quadric Cholesky (~1e3). Order of magnitude
+        only — the engine crossovers it feeds are ~2 decades apart
+        (tasks.engine.DEVICE_FLOPS_FLOOR): 72-lipid bilayers land ~1e6-1e7
+        (CPU-jit wins, measured 134 vs 41.5 fps), 4608-lipid ~3e8 (device
+        wins, measured ~2x the native single core).
+        """
+        L, K = float(self.n_lipids), float(self.patch_cap)
+        return L * (10.0 * L + 40.0 * K * K + 1000.0)
 
     def _estimate_patch_cap(self) -> int:
         """Max patch count on the build-time frame, x1.25, rounded to 8."""
@@ -822,12 +863,22 @@ class MembraneDevice:
         rebuild with a larger ``patch_cap``.
         """
         import jax
-        import jax.numpy as jnp
 
-        from ..tasks.trajectory import decode_window_coords
+        from ..tasks.trajectory import decode_window_coords, transport_frames
 
+        B = transport_frames(coords)
+        if self.engine == "auto" and self.engine_resolved is None:
+            from ..tasks.engine import engine_device, pick_engine
+
+            self.engine_resolved = pick_engine(self._per_frame_flops(), B)
+            if self.engine_resolved == "cpu":
+                self._engine_dev = engine_device("cpu")
+        if self._engine_dev is not None:
+            # Commit the RAW transport to the chosen backend so the decode
+            # itself (and every jit tracing these arrays) runs there — no
+            # round-trip through the default device.
+            coords = jax.device_put(coords, self._engine_dev)
         coords = decode_window_coords(coords)
-        B = coords.shape[0]
         if boxes is None:
             bs = np.broadcast_to(
                 np.asarray(
@@ -842,8 +893,8 @@ class MembraneDevice:
             # inverses on host in f64 (a per-frame 3x3 — not device work),
             # shipped f32 next to the matrices
             pbs = (
-                jnp.asarray(bs, jnp.float32),
-                jnp.asarray(np.linalg.inv(bs), jnp.float32),
+                bs.astype(np.float32),
+                np.linalg.inv(bs).astype(np.float32),
             )
         else:
             # The compiled program's min-image is the componentwise
@@ -860,9 +911,9 @@ class MembraneDevice:
                     "triclinic build-frame box to compile the triclinic "
                     "min-image path"
                 )
-            pbs = jnp.asarray(
-                np.stack([np.diag(b) for b in bs]), jnp.float32
-            )
+            pbs = np.stack([np.diag(b) for b in bs]).astype(np.float32)
+        if self._engine_dev is not None:
+            pbs = jax.device_put(pbs, self._engine_dev)
         out = self._window_fn(coords, pbs)
         return jax.tree_util.tree_map(np.asarray, out)
 

@@ -81,7 +81,11 @@ def build_arg_parser(description: str = "trajectory analysis") -> argparse.Argum
     p.add_argument("-e", "--end", default=None, help="last frame (same suffixes)")
     p.add_argument("--skip", type=int, default=1, help="take every skip-th frame")
     p.add_argument("--log", type=int, default=100, dest="log_every", help="progress period")
-    p.add_argument("--window", type=int, default=64, help="frames per device window")
+    p.add_argument(
+        "--window", type=int, default=0,
+        help="frames per device window (0 = auto-size from the stream's "
+        "wire bytes; dispatch-bound small streams get big windows)",
+    )
     p.add_argument(
         "--mesh",
         type=int,
@@ -371,6 +375,30 @@ def decode_window_coords(coords):
     return ints.astype(jnp.float32) * scale
 
 
+def transport_frames(coords) -> int:
+    """Frame count of a window transport WITHOUT decoding it.
+
+    Mirrors :func:`decode_window_coords`'s form dispatch (plain / chunked /
+    quantized / delta-quantized); engine selection needs B before deciding
+    which backend the decode itself should run on.
+    """
+
+    def lead(x):
+        return (
+            sum(c.shape[0] for c in x) if isinstance(x, tuple) else x.shape[0]
+        )
+
+    if not isinstance(coords, tuple):
+        return coords.shape[0]
+    if getattr(coords[-1], "ndim", None) == 3 and not isinstance(
+        coords[-1], tuple
+    ):
+        return lead(coords)
+    if len(coords) == 2:
+        return lead(coords[0])
+    return 1 + lead(coords[1])
+
+
 def auto_window(
     path: str,
     subset=None,
@@ -387,15 +415,19 @@ def auto_window(
     must stay under the tunnel's per-put size cliff (>~10 MB puts collapse;
     docs/perf_notes.md round-3/4 window tables). Clamped to
     [16, min(n_frames, max_window)] and rounded down to a multiple of 16
-    for compile-cache-stable shapes.
+    for compile-cache-stable shapes. Non-XTC streams (no cheap frame/atom
+    count probe) fall back to 16 — the full-frame-safe choice.
     """
-    from ..io.xtc import XtcHandler
-
     if requested:
         return requested
-    h = XtcHandler(path)
-    n_frames, n_atoms = h.n_frames, h.n_atoms
-    h.close()
+    try:
+        from ..io.xtc import XtcHandler
+
+        h = XtcHandler(path)
+        n_frames, n_atoms = h.n_frames, h.n_atoms
+        h.close()
+    except Exception:
+        return 16
     rows = n_atoms if subset is None else len(subset)
     w = target_bytes // max(1, 3 * rows) // 16 * 16
     return int(min(n_frames, max(16, min(max_window, w))))
@@ -806,7 +838,12 @@ class WindowAnalysisTask:
             from ..parallel.mesh import frame_mesh
 
             mesh = frame_mesh(args.mesh)
-        pipeline = WindowPipeline(reader, args.window, window_fn, mesh=mesh)
+        window = args.window or auto_window(
+            (trajectories or [structure])[0]
+        )
+        if not args.window:
+            log.info("auto window: %d frames", window)
+        pipeline = WindowPipeline(reader, window, window_fn, mesh=mesh)
         n = 0
         t0 = _time.perf_counter()
         for ids, results in pipeline.run():
