@@ -28,7 +28,7 @@ from .core import (
 from .core.system import Particle, Sel, SelectionError, System, distance_search
 from .selection import SelectionExpr, SelectionSyntaxError
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 
 # -- pymolar-compat module-level entry points (molar.pyi:203-208) -------------
