@@ -185,30 +185,38 @@ def wl_com_splits(system, xtc, window, runner=None):
     import jax.numpy as jnp
 
     sel = system("resname ALA")
-    seg = jnp.asarray(sel.segment_ids())
-    nseg = int(seg[-1]) + 1
-    masses = jnp.asarray(sel.masses)
-    box = jnp.asarray(system.state.box.matrix)
+    seg_np = np.asarray(sel.segment_ids())
+    nseg = int(seg_np[-1]) + 1
+    n_rows = len(sel.indices)
+    seg = jnp.asarray(seg_np)
 
-    # Frame-invariant: computed ONCE, not inside the scan body (XLA does
-    # not hoist loop-invariant segment reductions out of while loops).
-    msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
+    # Segment reductions as ONE whole-window HIGHEST-precision einsum with
+    # a mass-folded one-hot matrix: MXU work at exact-f32 accuracy, instead
+    # of scan-serialized per-frame segment_sums (measured 1.2 ms/frame on
+    # the VPU — the row's round-5 bottleneck). 1000 x 4000 one-hot = 16 MB
+    # resident, 12 MFLOP/frame on the systolic array.
+    S_np = np.zeros((nseg, n_rows), np.float32)
+    S_np[seg_np, np.arange(n_rows)] = sel.masses
+    S = jnp.asarray(S_np)
+    msum = jnp.asarray(S_np.sum(axis=1))
+    hi = jax.lax.Precision.HIGHEST
 
     # Subset transport: windows carry only the selection's rows.
     @jax.jit
     def fn(coords, boxes, invs, times):
-        coords = decode_window_coords(coords)
-        def per_frame(carry, x):
-            com = (
-                jax.ops.segment_sum(x * masses[:, None], seg, num_segments=nseg)
-                / msum[:, None]
-            )
-            d = x - com[seg]
-            g2 = jax.ops.segment_sum(
-                jnp.sum(d * d, -1) * masses, seg, num_segments=nseg
-            ) / msum
-            return carry, (com, jnp.sqrt(g2))
-        return jax.lax.scan(per_frame, 0, coords)[1]
+        x = decode_window_coords(coords)  # (B, n, 3)
+        # per-component 2-D einsums + 1-D gathers (rank-3 einsums and row
+        # gathers are compile-time traps; CLAUDE.md)
+        coms, r2 = [], 0.0
+        for k in range(3):
+            xk = x[..., k]  # (B, n)
+            ck = jnp.einsum("sn,bn->bs", S, xk, precision=hi) / msum
+            coms.append(ck)
+            dk = xk - ck[:, seg]
+            r2 = r2 + dk * dk
+        com = jnp.stack(coms, axis=-1)  # (B, nseg, 3)
+        g2 = jnp.einsum("sn,bn->bs", S, r2, precision=hi) / msum
+        return com, jnp.sqrt(g2)
 
     n, el, outs = _timed_stream(fn, xtc, window, runner, subset=sel.indices)
     # Self-check: mean over frames of the mean per-segment gyration radius
@@ -234,15 +242,26 @@ def wl_contacts(system, xtc, window, runner=None, cutoff=0.4):
     inv = jnp.asarray(system.state.box.inv)
     dims = neighbor.grid_dims(system.state.box.box_extents(), cutoff)
 
+    # 4000 x 50 candidates: the dense matrix wins over the cell grid by an
+    # order of magnitude at this scale (the grid carries (n, 27, cap) hit
+    # tables + a 7M-slot nonzero per frame; ops/neighbor.py docstring)
+    dense = len(prot_g) * len(lig_g) <= 1 << 21
+
     @jax.jit
     def fn(coords, boxes, invs, times):
         coords = decode_window_coords(coords)
         def per_frame(carry, fr):
             c, b, i = fr
-            pairs, dist, cnt, ofl = neighbor.contact_pairs(
-                c, prot, lig, cutoff=cutoff, box=b, inv=i, dims=dims,
-                cap=64, max_pairs=1 << 14,
-            )
+            if dense:
+                pairs, dist, cnt, ofl = neighbor.contact_pairs_dense(
+                    c, prot, lig, cutoff=cutoff, box=b, inv=i,
+                    max_pairs=1 << 14,
+                )
+            else:
+                pairs, dist, cnt, ofl = neighbor.contact_pairs(
+                    c, prot, lig, cutoff=cutoff, box=b, inv=i, dims=dims,
+                    cap=64, max_pairs=1 << 14,
+                )
             return carry, (cnt, ofl)
         return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
@@ -285,36 +304,41 @@ def wl_fused(system, xtc, window, runner=None, cutoff=0.4):
 
     ref = jnp.asarray(ca.coords)
     ca_mass = jnp.asarray(ca.masses)
-    seg = jnp.asarray(ala.segment_ids())
-    nseg = int(seg[-1]) + 1
-    ala_mass = jnp.asarray(ala.masses)
-    msum = jax.ops.segment_sum(ala_mass, seg, num_segments=nseg)
-    dims = neighbor.grid_dims(system.state.box.box_extents(), cutoff)
+    seg_np = np.asarray(ala.segment_ids())
+    nseg = int(seg_np[-1]) + 1
+    seg = jnp.asarray(seg_np)
+    # mass-folded one-hot: whole-window segment reductions on the MXU at
+    # HIGHEST precision (see wl_com_splits)
+    S_np = np.zeros((nseg, len(ala.indices)), np.float32)
+    S_np[seg_np, np.arange(len(ala.indices))] = ala.masses
+    S = jnp.asarray(S_np)
+    msum = jnp.asarray(S_np.sum(axis=1))
+    hi = jax.lax.Precision.HIGHEST
 
     @jax.jit
     def fn(coords, boxes, invs, times):
         coords = decode_window_coords(coords)
+        # per-component 1-D gathers + 2-D einsums (row gathers and rank-3
+        # einsums are compile-time traps; CLAUDE.md)
+        r2 = 0.0
+        for k in range(3):
+            xk = coords[..., k][:, ala_l]  # (B, n_ala)
+            ck = jnp.einsum("sn,bn->bs", S, xk, precision=hi) / msum
+            dk = xk - ck[:, seg]
+            r2 = r2 + dk * dk
+        gyr = jnp.sqrt(jnp.einsum("sn,bn->bs", S, r2, precision=hi) / msum)
 
         def per_frame(carry, fr):
             c, b, i = fr
             rmsd, _r, _s = measure.fit_rmsd(c[ca_l], ref, ca_mass)
-            x = c[ala_l]
-            com = (
-                jax.ops.segment_sum(x * ala_mass[:, None], seg,
-                                    num_segments=nseg)
-                / msum[:, None]
+            pairs, dist, cnt, ofl = neighbor.contact_pairs_dense(
+                c, ala_l, lig_l, cutoff=cutoff, box=b, inv=i,
+                max_pairs=1 << 14,
             )
-            d = x - com[seg]
-            g2 = jax.ops.segment_sum(
-                jnp.sum(d * d, -1) * ala_mass, seg, num_segments=nseg
-            ) / msum
-            pairs, dist, cnt, ofl = neighbor.contact_pairs(
-                c, ala_l, lig_l, cutoff=cutoff, box=b, inv=i, dims=dims,
-                cap=64, max_pairs=1 << 14,
-            )
-            return carry, (rmsd, jnp.sqrt(g2), cnt, ofl)
+            return carry, (rmsd, cnt, ofl)
 
-        return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
+        rmsd, cnt, ofl = jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
+        return rmsd, gyr, cnt, ofl
 
     n, el, outs = _timed_stream(fn, xtc, window, runner, subset=subset)
     rmsd = np.concatenate([np.asarray(o[0]).ravel() for o in outs])

@@ -43,6 +43,7 @@ __all__ = [
     "cell_table",
     "within_mask",
     "contact_pairs",
+    "contact_pairs_dense",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -739,6 +740,57 @@ def within_mask(
         _unsort_mask(hit_blocks, s_slot, s_order, src.shape[0]),
         s_ofl | t_ofl,
     )
+
+
+def contact_pairs_dense(
+    coords,
+    src_idx,
+    tgt_idx,
+    cutoff: float,
+    box,
+    inv,
+    corrections=None,
+    max_pairs: int = 1 << 16,
+    pbc=(True, True, True),
+):
+    """Fixed-capacity contact list via the direct (n_src, n_tgt) distance
+    matrix — no cell grid.
+
+    Same contract as :func:`contact_pairs` (inclusive cutoff, global-index
+    pairs padded with -1, implementation-defined order), but the candidate
+    set is ALL src x tgt pairs. The measured winner when n_src * n_tgt is
+    small (< ~2^21): at that scale the grid path's cost is its fixed
+    (n_src, 27, cap) hit tables and the nonzero over them — a 4000 x 50
+    protein-ligand search carries 7M candidate slots through the grid but
+    only 200k through the dense matrix. Cutoff-independent (no dims/caps to
+    size), so it also suits searches whose cutoff would make the grid
+    degenerate. Reference workload: comparison_small.rs contact lists.
+    """
+    src = coords[src_idx]
+    tgt = coords[tgt_idx]
+    sfx, sfy, sfz = _wrap_frac(src, inv)
+    tfx, tfy, tfz = _wrap_frac(tgt, inv)
+    sx, sy, sz = _apply3(box, sfx, sfy, sfz)
+    tx, ty, tz = _apply3(box, tfx, tfy, tfz)
+    c2 = jnp.asarray(cutoff, src.dtype) ** 2
+    dx = tx[None, :] - sx[:, None]
+    dy = ty[None, :] - sy[:, None]
+    dz = tz[None, :] - sz[:, None]
+    d2 = _min_image_d2(dx, dy, dz, box, inv, corrections, pbc)
+    hit = d2 <= c2
+    count = jnp.sum(hit)
+    (pos,) = jnp.nonzero(hit.reshape(-1), size=max_pairs, fill_value=-1)
+    ok = pos >= 0
+    safe = jnp.maximum(pos, 0)
+    m = tgt_idx.shape[0]
+    gi = src_idx[safe // m]
+    gj = tgt_idx[safe % m]
+    dist = jnp.sqrt(d2.reshape(-1)[safe])
+    pairs = jnp.where(
+        ok[:, None], jnp.stack([gi, gj], axis=1), jnp.int32(-1)
+    ).astype(jnp.int32)
+    dist = jnp.where(ok, dist, 0.0)
+    return pairs, dist, count, count > max_pairs
 
 
 def contact_pairs(

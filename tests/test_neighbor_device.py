@@ -165,3 +165,73 @@ def test_partial_pbc(scene):
     got = src2[np.asarray(mask)]
     want = neighbor_host.search_within(cutoff, coords, src2, tgt2, box, pd)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("cutoff", [0.3, 0.5, 0.9])
+def test_contact_pairs_dense_match_host(scene, cutoff):
+    # same contract as the grid path, no grid: all src x tgt candidates
+    box, coords, src, tgt = scene
+    pairs, dist, count, overflow = jax.jit(
+        neighbor.contact_pairs_dense,
+        static_argnames=("cutoff", "max_pairs", "pbc"),
+    )(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=cutoff,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        max_pairs=1 << 14,
+    )
+    assert not bool(overflow)
+    got_pairs = np.asarray(pairs)
+    got_pairs = got_pairs[got_pairs[:, 0] >= 0]
+    got = set(map(tuple, got_pairs.tolist()))
+    hpairs, hdist = neighbor_host.search_pairs(cutoff, coords, src, tgt, box, PBC_FULL)
+    want = set(map(tuple, hpairs.tolist()))
+    assert got == want
+    assert int(count) == len(want)
+    # distances match the host's per-pair values
+    hmap = {tuple(p): d for p, d in zip(hpairs.tolist(), hdist.tolist())}
+    for p, d in zip(got_pairs.tolist(), np.asarray(dist).tolist()):
+        assert abs(hmap[tuple(p)] - d) < 1e-5
+
+
+def test_contact_pairs_dense_triclinic():
+    box = PeriodicBox.from_vectors_angles(4.0, 5.0, 6.0, 80.0, 85.0, 75.0)
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(-2, 8, (300, 3)).astype(np.float32)
+    src = np.arange(300)
+    tgt = np.arange(0, 300, 5)
+    pairs, dist, count, overflow = neighbor.contact_pairs_dense(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=0.6,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        corrections=jnp.asarray(box.padded_corrections()),
+        max_pairs=1 << 14,
+    )
+    assert not bool(overflow)
+    got_pairs = np.asarray(pairs)
+    got_pairs = got_pairs[got_pairs[:, 0] >= 0]
+    got = set(map(tuple, got_pairs.tolist()))
+    hpairs, _ = neighbor_host.search_pairs(0.6, coords, src, tgt, box, PBC_FULL)
+    want = set(map(tuple, hpairs.tolist()))
+    assert got == want
+
+
+def test_contact_pairs_dense_overflow_flag(scene):
+    box, coords, src, tgt = scene
+    _, _, count, overflow = neighbor.contact_pairs_dense(
+        jnp.asarray(coords),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        cutoff=0.9,
+        box=jnp.asarray(box.matrix),
+        inv=jnp.asarray(box.inv),
+        max_pairs=8,
+    )
+    assert int(count) > 8
+    assert bool(overflow)
