@@ -196,51 +196,28 @@ def wl_com_splits(system, xtc, window, runner=None):
     import jax
     import jax.numpy as jnp
 
+    from molar_tpu.ops import measure
+
     sel = system("resname ALA")
-    seg = jnp.asarray(sel.segment_ids())
-    nseg = int(seg[-1]) + 1
-    masses = jnp.asarray(sel.masses)
 
-    # Frame-invariant: computed ONCE, not inside the scan body (XLA does
-    # not hoist loop-invariant segment reductions out of while loops).
-    # NOTE a mass-folded one-hot einsum (MXU form) of these reductions was
-    # measured 5.4x SLOWER on-chip than this scan (154.7 vs 836.8 fps at
-    # 256 frames / w128) — docs/perf_notes.md round 5; don't re-try it.
-    msum = jax.ops.segment_sum(masses, seg, num_segments=nseg)
-
-    n_rows = len(sel.indices)
+    # Scatter-free dense-segment layout (ops/measure.py): contiguous runs
+    # padded to the longest run, segment axis on lanes. Measured history
+    # of the alternatives at 256 frames / w128 (perf_notes round 5):
+    # mass-folded one-hot MXU einsum 154.7 fps; scan-serialized per-frame
+    # segment_sums 617-837; whole-window flat segment_sum (frame-offset
+    # ids, one scatter) 433. The scatter/scan was the cost, not the
+    # arithmetic — don't re-try those forms.
+    idx_np, w_np, _ = measure.contiguous_segments_dense(
+        sel.segment_ids(), sel.masses
+    )
+    idx = jnp.asarray(idx_np)
+    w = jnp.asarray(w_np)
 
     # Subset transport: windows carry only the selection's rows.
-    # The whole window folds into ONE flat segment_sum (ids offset by
-    # frame): same primitive as the per-frame form but 128 tiny scanned
-    # ops become one big fused op — the scan's per-iteration overhead was
-    # the row's cost (the identical math inside wl_fused's scan measures
-    # ~0.3 ms/frame; standalone it measured 1.2-1.6).
     @jax.jit
     def fn(coords, boxes, invs, times):
         x = decode_window_coords(coords)  # (B, n, 3)
-        B = x.shape[0]
-        ids = (
-            jnp.arange(B, dtype=seg.dtype)[:, None] * nseg + seg[None, :]
-        ).reshape(-1)
-        w = (x * masses[:, None]).reshape(B * n_rows, 3)
-        com = (
-            jax.ops.segment_sum(w, ids, num_segments=B * nseg)
-            .reshape(B, nseg, 3)
-            / msum[:, None]
-        )
-        # per-component constant-index gathers (row-gather compile trap)
-        r2 = 0.0
-        for k in range(3):
-            dk = x[..., k] - com[..., k][:, seg]
-            r2 = r2 + dk * dk
-        g2 = (
-            jax.ops.segment_sum(
-                (r2 * masses).reshape(-1), ids, num_segments=B * nseg
-            ).reshape(B, nseg)
-            / msum
-        )
-        return com, jnp.sqrt(g2)
+        return measure.dense_segment_com_gyration(x, idx, w)
 
     n, el, outs = _timed_stream(fn, xtc, window, runner, subset=sel.indices)
     # Self-check: mean over frames of the mean per-segment gyration radius

@@ -126,3 +126,55 @@ def test_min_image_batched_matches_host(data):
     np.testing.assert_allclose(
         np.linalg.norm(got, axis=1), np.linalg.norm(want, axis=1), atol=1e-5
     )
+
+
+def test_dense_segment_layout_nonuniform():
+    # Sorted contiguous runs of ragged lengths (1..7): the layout must pad
+    # to the longest run with zero weight and reproduce exact numpy
+    # per-segment sums.
+    rng = np.random.default_rng(11)
+    counts = rng.integers(1, 8, size=37)
+    seg = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    n = seg.shape[0]
+    weights = rng.uniform(1, 16, n).astype(np.float32)
+    idx, w, got_counts = measure.contiguous_segments_dense(seg, weights)
+    np.testing.assert_array_equal(got_counts, counts)
+    assert w.shape == (int(counts.max()), len(counts))
+
+    vals = rng.normal(size=(4, n)).astype(np.float32)
+    got = np.asarray(
+        measure.dense_segment_sum(jnp.asarray(vals), jnp.asarray(idx), jnp.asarray(w))
+    )
+    want = np.stack(
+        [
+            np.add.reduceat(vals[b] * weights, np.r_[0, np.cumsum(counts)[:-1]])
+            for b in range(4)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_dense_segment_com_gyration_matches_host():
+    rng = np.random.default_rng(12)
+    counts = rng.integers(2, 9, size=25)
+    seg = np.repeat(np.arange(len(counts)), counts).astype(np.int32)
+    n = seg.shape[0]
+    masses = rng.uniform(1, 16, n).astype(np.float32)
+    coords = rng.uniform(0, 5, (3, n, 3)).astype(np.float32)
+
+    idx, w, _ = measure.contiguous_segments_dense(seg, masses)
+    com, gyr = measure.dense_segment_com_gyration(
+        jnp.asarray(coords), jnp.asarray(idx), jnp.asarray(w)
+    )
+    com, gyr = np.asarray(com), np.asarray(gyr)
+    assert com.shape == (3, len(counts), 3) and gyr.shape == (3, len(counts))
+
+    for b in range(coords.shape[0]):
+        for s in range(len(counts)):
+            rows = coords[b][seg == s]
+            m = masses[seg == s]
+            want_com = (rows * m[:, None]).sum(0) / m.sum()
+            d = rows - want_com
+            want_gyr = np.sqrt((m * (d * d).sum(1)).sum() / m.sum())
+            np.testing.assert_allclose(com[b, s], want_com, atol=1e-5)
+            np.testing.assert_allclose(gyr[b, s], want_gyr, atol=1e-5)
