@@ -121,8 +121,11 @@ def main() -> int:
     # A/B/A measured w64 ~19.5 MB puts at 49 fps vs w32 ~10 MB at 91/92,
     # and w16 ~5 MB at 94.6 vs w32 86.2 back-to-back; w16 trades ~10 fps of
     # compute ceiling (108 vs 118) for materially better and tighter
-    # end-to-end draws (docs/perf_notes.md round-3 window table).
-    ap.add_argument("--window", type=int, default=16)
+    # end-to-end draws (docs/perf_notes.md round-3 window table). 0 = size
+    # from the put bytes (~6 MB target, cap 16): w16 at the 100k headline,
+    # w2 at 1M atoms — the measured winners at both scales (the 1M A/B/A
+    # chain drew w2 7.97 / w4 5.02 / w8 6.60 fps e2e).
+    ap.add_argument("--window", type=int, default=0)
     ap.add_argument("--cutoff", type=float, default=0.5)
     ap.add_argument("--box", type=float, default=10.0)
     ap.add_argument("--quick", action="store_true", help="tiny sizes for smoke test")
@@ -178,6 +181,12 @@ def main() -> int:
     args = ap.parse_args()
     if args.quick:
         args.atoms, args.protein, args.frames, args.window = 5000, 500, 32, 8
+    if not args.window:
+        # ~6 MB i8-delta puts (~3 B/atom/frame on the wire), capped at the
+        # measured 100k optimum w16; powers of two below that (1M -> w2).
+        w = max(1, min(16, 6_000_000 // (3 * args.atoms)))
+        args.window = 1 << (w.bit_length() - 1)
+        print(f"# auto window={args.window}", file=sys.stderr)
 
     if not args.cpu:
         # The axon tunnel goes fully down for hours at a time (round-4 log:

@@ -403,7 +403,7 @@ def auto_window(
     path: str,
     subset=None,
     requested: int = 0,
-    target_bytes: int = 4_000_000,
+    target_bytes: int = 6_000_000,
     max_window: int = 128,
 ) -> int:
     """Pick an execute-window size for a delta-transport stream.
@@ -413,10 +413,13 @@ def auto_window(
     ``target_bytes`` — small-selection streams are DISPATCH-bound at small
     windows (~25 ms tunnel round-trip per window), while full-frame streams
     must stay under the tunnel's per-put size cliff (>~10 MB puts collapse;
-    docs/perf_notes.md round-3/4 window tables). Clamped to
-    [16, min(n_frames, max_window)] and rounded down to a multiple of 16
-    for compile-cache-stable shapes. Non-XTC streams (no cheap frame/atom
-    count probe) fall back to 16 — the full-frame-safe choice.
+    docs/perf_notes.md round-3/4 window tables). At 16 frames and above the
+    window is rounded down to a multiple of 16 and clamped to
+    ``max_window`` (compile-cache-stable shapes); below 16 — huge frames —
+    it falls in powers of two down to 1 (the 1M-atom A/B/A measured
+    w2 > w4 > w8 end-to-end; perf_notes round 5). Non-XTC streams (no
+    cheap frame/atom count probe) fall back to 16 — the full-frame-safe
+    choice.
     """
     if requested:
         return requested
@@ -429,8 +432,13 @@ def auto_window(
     except Exception:
         return 16
     rows = n_atoms if subset is None else len(subset)
-    w = target_bytes // max(1, 3 * rows) // 16 * 16
-    return int(min(n_frames, max(16, min(max_window, w))))
+    w = target_bytes // max(1, 3 * rows)
+    if w < 16:
+        p2 = 1
+        while p2 * 2 <= max(1, w):
+            p2 *= 2
+        return int(min(n_frames, p2))
+    return int(min(n_frames, min(max_window, w // 16 * 16)))
 
 
 def _chunk_coords(coords, k: int):

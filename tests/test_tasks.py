@@ -159,10 +159,12 @@ def test_auto_window_sizing(tmp_path):
     assert auto_window(p, requested=24) == 24  # explicit wins
     # 100 rows = 300 B/frame of delta wire: 4 MB target -> whole trajectory
     assert auto_window(p) == 40
-    # small byte target -> the 16-frame floor, rounded shape-stable
-    assert auto_window(p, target_bytes=3000) == 16
-    # large subsets shrink the window toward the floor
-    assert auto_window(p, subset=np.arange(100), target_bytes=3000) == 16
+    # below 16 frames of wire budget the window falls in powers of two
+    # (huge frames: the 1M-atom chain measured w2 > w4 > w8 end-to-end)
+    assert auto_window(p, target_bytes=3000) == 8
+    assert auto_window(p, subset=np.arange(100), target_bytes=3000) == 8
+    assert auto_window(p, target_bytes=301) == 1  # ~one frame per put
+    assert auto_window(p, subset=np.arange(10), target_bytes=3000) == 40
 
 
 def test_iter_windows_subset_matches_sliced_full(two_trajs):
